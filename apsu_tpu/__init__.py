@@ -1,0 +1,20 @@
+"""apsu_tpu — a TPU-native unbalanced Private Set Union framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the unbalanced-PSU protocol of
+eprint 2022/653 (the protocol implemented by the C++ reference
+``real-world-cryprography/APSU``): the BFV homomorphic core runs as batched
+uint32 RNS kernels on TPU, the cuckoo-hashed database lives as dense HBM
+tensors sharded over a ``jax.sharding.Mesh``, and the OT/OPRF/PEQT machinery
+runs host-side.
+
+Party naming follows the reference (which inverted APSI's names):
+
+* ``Sender`` holds the SMALL set, encrypts query powers, decrypts results and
+  finally transfers its non-matching items via OT.
+* ``Receiver`` holds the LARGE set (the preprocessed ``ReceiverDB``) and
+  evaluates the matching polynomials homomorphically.
+"""
+
+__version__ = "0.1.0"
+
+from apsu_tpu.core.params import PSUParams  # noqa: F401
