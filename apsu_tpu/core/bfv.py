@@ -1,0 +1,485 @@
+"""BFV on TPU: batch encoding, symmetric encryption, homomorphic ops.
+
+A from-scratch RNS-BFV built for the uint32 TPU datapath (replaces the
+reference's use of Microsoft SEAL — see /root/reference/common/apsu/
+crypto_context.h:28 for the surface the protocol needs: BatchEncoder,
+symmetric-key Encryptor, Decryptor, Evaluator with multiply/square/
+relinearize/multiply_plain/add/mod-switch/NTT transforms).
+
+Design notes
+------------
+* Ciphertext component tensors are ``[n_components, L, N]`` uint32.  In
+  coefficient domain they hold PLAIN residues; in NTT domain they hold
+  Montgomery-form residues (so ⊙ is a single mont_mul).  ``Ciphertext.is_ntt``
+  tracks which.
+* ct×ct multiply is BEHZ-style RNS: FastBConv into an auxiliary NTT-friendly
+  base Bsk (overshoot α·Q folds into negligible noise — see rns.py), tensor
+  in NTT domain over q ∪ Bsk, scale by t/q with a fast floor, exact
+  Shenoy–Kumaresan conversion back to q.
+* Relinearization is RNS-gadget key switching with per-limb digits and a
+  single ≤30-bit special prime P (SEAL convention: the last generated prime
+  is reserved for keys; ciphertext data lives mod the others).
+* Decryption does the CRT scale-and-round on host with big ints for now
+  (sender-side, off the hot path); encrypt/eval are fully device-resident.
+
+Security parameters (σ=3.2 ternary secret) follow the reference's SEAL
+``tc128`` configuration (crypto_context.h:33-34).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apsu_tpu.core import nt
+from apsu_tpu.core.mod32 import add_mod, mont_mul, neg_mod, sub_mod
+from apsu_tpu.core.params import SealParams
+from apsu_tpu.core.rns import BaseConv, ExactDiv, RnsBase, ShenoyKumaresanConv
+
+NOISE_STDDEV = 3.2  # SEAL default error stddev
+
+
+def _mont(x: int, p: int) -> int:
+    return (x << 32) % p
+
+
+@dataclass
+class Ciphertext:
+    data: jnp.ndarray  # [..., k, L, N] uint32 (k components, optional batch)
+    is_ntt: bool       # True: NTT domain, Montgomery form; False: coeff, plain
+    level: int         # number of active data limbs (prefix of q chain)
+
+    @property
+    def size(self) -> int:
+        return self.data.shape[-3]
+
+
+class SecretKey:
+    """Ternary secret with device-side NTT caches per base."""
+
+    def __init__(self, coeffs: np.ndarray, ctx: "BfvContext"):
+        self.coeffs = coeffs  # int8 in {-1,0,1}, [N]
+        self._ntt_cache = {}
+        self._ctx = ctx
+
+    def ntt_mont(self, base: RnsBase) -> jnp.ndarray:
+        key = id(base)
+        if key not in self._ntt_cache:
+            res = np.zeros((base.k, base.n), dtype=np.uint32)
+            s64 = self.coeffs.astype(np.int64)
+            for i, p in enumerate(base.primes):
+                res[i] = np.where(s64 >= 0, s64, s64 + p).astype(np.uint32)
+            f = self._ctx._jitted(
+                ("sk_ntt", tuple(base.primes)),
+                lambda x: base.ntt.ntt(base.to_mont(x)),
+            )
+            self._ntt_cache[key] = f(jnp.asarray(res))
+        return self._ntt_cache[key]
+
+
+class RelinKey:
+    """RNS-gadget key-switching keys for s² → s (one digit per data limb)."""
+
+    def __init__(self, ksk: jnp.ndarray, level: int):
+        # ksk: [n_digits, 2, L_qp, N] NTT-domain Montgomery form
+        self.ksk = ksk
+        self.level = level
+
+
+class BfvContext:
+    def __init__(self, sp: SealParams):
+        self.sp = sp
+        self.n = sp.poly_modulus_degree
+        self.t = sp.plain_modulus
+        self.q_primes = list(sp.data_modulus)
+        self.special = sp.special_modulus
+        n = self.n
+
+        self.q = RnsBase(self.q_primes, n)
+        self.Q = self.q.prod
+        self.delta = self.Q // self.t
+        self.t_base = RnsBase([self.t], n)
+
+        # per-level bases for mod-switch (level L = first L primes)
+        self.levels: List[RnsBase] = [None] * (len(self.q_primes) + 1)
+        self.levels[len(self.q_primes)] = self.q
+        for lvl in range(1, len(self.q_primes)):
+            self.levels[lvl] = RnsBase(self.q_primes[:lvl], n)
+
+        # key base (q + special prime) and relin machinery
+        if self.special is not None:
+            self.qp = RnsBase(self.q_primes + [self.special], n)
+            self.div_p = ExactDiv(self.q, self.special, round_nearest=True)
+        else:
+            self.qp = None
+            self.div_p = None
+
+        # Bsk: enough ≤30-bit NTT primes to hold floor(t·|tensor|/Q) exactly,
+        # |tensor| < N·(k+1)²·Q² (uncentered lifts with FastBConv overshoot)
+        k = self.q.k
+        need_bits = (
+            self.Q.bit_length()
+            + math.ceil(math.log2(n))
+            + self.t.bit_length()
+            + 2 * math.ceil(math.log2(k + 1))
+            + 4
+        )
+        nb = max(k, math.ceil(need_bits / 30)) + 1  # +1 = m_sk channel
+        exclude = self.q_primes + [self.t] + ([self.special] if self.special else [])
+        bsk_primes = nt.gen_ntt_primes([30] * nb, 2 * n, exclude=exclude)
+        self.bsk = RnsBase(bsk_primes, n)
+        self.conv_q_to_bsk = BaseConv(self.q, self.bsk)
+        self.sk_conv = ShenoyKumaresanConv(self.bsk, self.q, n)
+
+        # constants
+        self.delta_mont_q = np.array(
+            [_mont(self.delta % p, p) for p in self.q_primes], dtype=np.uint32
+        ).reshape(k, 1)
+        self.t_mont_q = np.array(
+            [_mont(self.t % p, p) for p in self.q_primes], dtype=np.uint32
+        ).reshape(k, 1)
+        self.t_mont_bsk = np.array(
+            [_mont(self.t % p, p) for p in self.bsk.primes], dtype=np.uint32
+        ).reshape(self.bsk.k, 1)
+        self.qinv_mont_bsk = np.array(
+            [_mont(pow(self.Q % p, -1, p), p) for p in self.bsk.primes],
+            dtype=np.uint32,
+        ).reshape(self.bsk.k, 1)
+
+        # mod-switch dividers: drop limb j+1 -> level j
+        self.div_drop: List[Optional[ExactDiv]] = [None] * (len(self.q_primes) + 1)
+        for lvl in range(1, len(self.q_primes)):
+            self.div_drop[lvl + 1] = ExactDiv(
+                self.levels[lvl], self.q_primes[lvl], round_nearest=True
+            )
+
+        # cache of jitted device kernels (eager dispatch over the TPU tunnel
+        # costs ~10 ms per op — everything device-side must run under jit)
+        self._jit_cache = {}
+
+    def _jitted(self, key, fn):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    # batch encoding (CRT slot packing mod t)
+    # ------------------------------------------------------------------
+    def encode(self, values) -> jnp.ndarray:
+        """Slot values [..., N] uint32 < t  ->  plaintext poly [..., N] plain."""
+
+        def impl(x):
+            pm = self.t_base.to_mont(x[..., None, :])
+            return self.t_base.from_mont(self.t_base.ntt.intt(pm))[..., 0, :]
+
+        return self._jitted("encode", impl)(jnp.asarray(values, jnp.uint32))
+
+    def decode(self, poly) -> jnp.ndarray:
+        def impl(x):
+            vm = self.t_base.ntt.ntt(self.t_base.to_mont(x[..., None, :]))
+            return self.t_base.from_mont(vm)[..., 0, :]
+
+        return self._jitted("decode", impl)(jnp.asarray(poly, jnp.uint32))
+
+    # ------------------------------------------------------------------
+    # key generation (device-assisted)
+    # ------------------------------------------------------------------
+    def gen_secret_key(self, rng: np.random.Generator) -> SecretKey:
+        s = rng.integers(-1, 2, size=self.n).astype(np.int8)
+        return SecretKey(s, self)
+
+    def _sample_error(self, rng: np.random.Generator, base: RnsBase, shape_lead=()):
+        e = np.rint(rng.normal(0.0, NOISE_STDDEV, size=shape_lead + (self.n,))).astype(
+            np.int64
+        )
+        out = np.zeros(shape_lead + (base.k, self.n), dtype=np.uint32)
+        for i, p in enumerate(base.primes):
+            out[..., i, :] = np.mod(e, p).astype(np.uint32)
+        return jnp.asarray(out)
+
+    def _sample_uniform(self, rng: np.random.Generator, base: RnsBase, shape_lead=()):
+        out = np.zeros(shape_lead + (base.k, self.n), dtype=np.uint32)
+        for i, p in enumerate(base.primes):
+            out[..., i, :] = rng.integers(0, p, size=shape_lead + (self.n,), dtype=np.uint64)
+        return jnp.asarray(out)
+
+    def gen_relin_key(self, sk: SecretKey, rng: np.random.Generator) -> RelinKey:
+        """ksk_i = (-(a_i·s + e_i) + P·g_i·s², a_i) mod QP, NTT/Montgomery form.
+
+        g_i = q̂_i·[q̂_i^{-1}]_{q_i} (integer CRT basis element of q).
+        """
+        if self.qp is None:
+            raise ValueError("no special prime: relinearization unavailable")
+        qp = self.qp
+        P = self.special
+        pg_monts = []
+        for i in range(self.q.k):
+            g = self.q.phat[i] * self.q.phat_inv[i]  # integer < Q
+            pg_monts.append(
+                np.array([_mont(P * g % p, p) for p in qp.primes], dtype=np.uint32)
+            )
+        pg_mont = np.stack(pg_monts)[:, :, None]  # [kdig, kqp, 1] host numpy
+        a = self._sample_uniform(rng, qp, shape_lead=(self.q.k,))  # plain coeff
+        e = self._sample_error(rng, qp, shape_lead=(self.q.k,))
+
+        def impl(s_ntt, a, e):
+            s2_ntt = mont_mul(s_ntt, s_ntt, qp.p_d, qp.pni_d)
+            a_ntt = qp.ntt.ntt(qp.to_mont(a))
+            as_ntt = mont_mul(a_ntt, s_ntt, qp.p_d, qp.pni_d)
+            e_ntt = qp.ntt.ntt(qp.to_mont(e))
+            k0 = add_mod(
+                neg_mod(add_mod(as_ntt, e_ntt, qp.p_d), qp.p_d),
+                mont_mul(s2_ntt, pg_mont, qp.p_d, qp.pni_d),
+                qp.p_d,
+            )
+            return jnp.stack([k0, a_ntt], axis=1)  # [kdig, 2, kqp, N]
+
+        ksk = self._jitted("gen_relin_key", impl)(sk.ntt_mont(qp), a, e)
+        return RelinKey(ksk, level=len(self.q_primes))
+
+    # ------------------------------------------------------------------
+    # encrypt / decrypt
+    # ------------------------------------------------------------------
+    def encrypt_symmetric(
+        self, pt_poly, sk: SecretKey, rng: np.random.Generator
+    ) -> Ciphertext:
+        """pt_poly: [..., N] plaintext polynomial(s) mod t. Fresh full-level ct.
+
+        Batched: leading dims of pt_poly produce a batch of ciphertexts with
+        data shape [..., 2, L, N].
+        """
+        q = self.q
+        pt = jnp.asarray(pt_poly, jnp.uint32)
+        lead = pt.shape[:-1]
+        a = self._sample_uniform(rng, q, shape_lead=lead)
+        e = self._sample_error(rng, q, shape_lead=lead)
+
+        def impl(pt, a, e, s_ntt):
+            a_ntt = q.ntt.ntt(q.to_mont(a))
+            as_coeff = q.from_mont(
+                q.ntt.intt(mont_mul(a_ntt, s_ntt, q.p_d, q.pni_d))
+            )
+            dm = mont_mul(
+                pt[..., None, :], self.delta_mont_q, q.p_d, q.pni_d
+            )  # Δ·m mod q_i (plain)
+            c0 = add_mod(neg_mod(add_mod(as_coeff, e, q.p_d), q.p_d), dm, q.p_d)
+            return jnp.stack([c0, a], axis=-3)
+
+        data = self._jitted("encrypt", impl)(pt, a, e, sk.ntt_mont(q))
+        return Ciphertext(data, is_ntt=False, level=q.k)
+
+    def decrypt(self, ct: Ciphertext, sk: SecretKey) -> np.ndarray:
+        """Returns the plaintext polynomial(s) mod t (host numpy, [..., N])."""
+        x = np.asarray(self._dot_with_secret(ct, sk))  # [..., L, N] plain coeff
+        base = self.levels[ct.level]
+        big = base.compose(x)  # object ints in [0, prod), [..., N]
+        Ql = base.prod
+        half, t = Ql // 2, self.t
+        flat = big.reshape(-1)
+        out = np.empty(flat.shape, dtype=np.uint64)
+        for i in range(flat.shape[0]):
+            out[i] = ((int(flat[i]) * t + half) // Ql) % t
+        return out.reshape(big.shape).astype(np.uint32)
+
+    def _dot_with_secret(self, ct: Ciphertext, sk: SecretKey):
+        base = self.levels[ct.level]
+        size = ct.size
+
+        def impl(data, s_ntt):
+            if not ct.is_ntt:
+                data = base.ntt.ntt(base.to_mont(data))
+            acc = data[..., 0, :, :]
+            spow = s_ntt
+            for i in range(1, size):
+                acc = add_mod(
+                    acc,
+                    mont_mul(data[..., i, :, :], spow, base.p_d, base.pni_d),
+                    base.p_d,
+                )
+                if i + 1 < size:
+                    spow = mont_mul(spow, s_ntt, base.p_d, base.pni_d)
+            return base.from_mont(base.ntt.intt(acc))
+
+        return self._jitted(("dot_secret", size, ct.level, ct.is_ntt), impl)(
+            ct.data, sk.ntt_mont(base)
+        )
+
+    def noise_budget(self, ct: Ciphertext, sk: SecretKey) -> float:
+        """Bits of invariant-noise budget remaining (SEAL semantics)."""
+        x = np.asarray(self._dot_with_secret(ct, sk))
+        base = self.levels[ct.level]
+        big = base.compose(x)
+        Ql = base.prod
+        max_frac = 0
+        for v in big.reshape(-1):
+            tx = int(v) * self.t
+            frac = tx - (tx + Ql // 2) // Ql * Ql  # centered remainder of tx mod Ql
+            max_frac = max(max_frac, abs(frac))
+        if max_frac == 0:
+            return float(Ql.bit_length())
+        return max(0.0, math.log2(Ql) - 1.0 - math.log2(max_frac))
+
+    # ------------------------------------------------------------------
+    # homomorphic ops
+    # ------------------------------------------------------------------
+    def _base(self, ct: Ciphertext) -> RnsBase:
+        return self.levels[ct.level]
+
+    def to_ntt(self, ct: Ciphertext) -> Ciphertext:
+        if ct.is_ntt:
+            return ct
+        base = self._base(ct)
+        f = self._jitted(("to_ntt", ct.level), lambda x: base.ntt.ntt(base.to_mont(x)))
+        return replace(ct, data=f(ct.data), is_ntt=True)
+
+    def from_ntt(self, ct: Ciphertext) -> Ciphertext:
+        if not ct.is_ntt:
+            return ct
+        base = self._base(ct)
+        f = self._jitted(
+            ("from_ntt", ct.level), lambda x: base.from_mont(base.ntt.intt(x))
+        )
+        return replace(ct, data=f(ct.data), is_ntt=False)
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.is_ntt == b.is_ntt and a.level == b.level
+        base = self._base(a)
+        f = self._jitted(("add", a.level), lambda x, y: add_mod(x, y, base.p_d))
+        return replace(a, data=f(a.data, b.data))
+
+    def delta_mont_at(self, level: int) -> jnp.ndarray:
+        """mont(Δ_level mod q_i) for the level's base, Δ_level = ⌊Q_level/t⌋."""
+        if level == self.q.k:
+            return self.delta_mont_q
+        base = self.levels[level]
+        dl = base.prod // self.t
+        return np.array(
+            [_mont(dl % p, p) for p in base.primes], dtype=np.uint32
+        ).reshape(base.k, 1)
+
+    def add_plain(self, ct: Ciphertext, pt_poly) -> Ciphertext:
+        """Add Δ·pt to c0 (pt_poly: [..., N] plaintext polynomial mod t)."""
+        base = self._base(ct)
+        delta_mont = self.delta_mont_at(ct.level)
+
+        def impl(data, pt):
+            dm = mont_mul(pt[..., None, :], delta_mont, base.p_d, base.pni_d)
+            if ct.is_ntt:
+                dm = base.ntt.ntt(base.to_mont(dm))
+            c0 = add_mod(data[..., 0, :, :], dm, base.p_d)
+            return data.at[..., 0, :, :].set(c0)
+
+        f = self._jitted(("add_plain", ct.level, ct.is_ntt), impl)
+        return replace(ct, data=f(ct.data, jnp.asarray(pt_poly, jnp.uint32)))
+
+    def Q_at(self, level: int) -> int:
+        return self.levels[level].prod
+
+    def mul_plain_ntt(self, ct: Ciphertext, pt_ntt_mont) -> Ciphertext:
+        """ct (NTT) ⊙ plaintext already lifted+NTT'd+Montgomery ([L, N])."""
+        assert ct.is_ntt
+        base = self._base(ct)
+        f = self._jitted(
+            ("mul_plain", ct.level), lambda x, y: mont_mul(x, y, base.p_d, base.pni_d)
+        )
+        return replace(ct, data=f(ct.data, pt_ntt_mont))
+
+    def lift_plaintext_ntt(self, pt_poly, level: Optional[int] = None) -> jnp.ndarray:
+        """Plaintext poly mod t [..., N] -> NTT-domain Montgomery [..., L, N] mod q."""
+        base = self.levels[level or self.q.k]
+
+        def impl(pt):
+            x = pt[..., None, :]
+            x = jnp.broadcast_to(x, x.shape[:-2] + (base.k, self.n))
+            return base.ntt.ntt(base.to_mont(x))
+
+        return self._jitted(("lift_pt", level), impl)(jnp.asarray(pt_poly, jnp.uint32))
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """BEHZ ct×ct multiply -> 3-component ciphertext (no relin)."""
+        assert a.level == b.level == self.q.k, "multiply only at full level"
+        a = self.from_ntt(a)
+        b = self.from_ntt(b)
+        q, bsk = self.q, self.bsk
+
+        def impl(xa, xb):
+            def tensor(base: RnsBase, xa, xb):
+                fa = base.ntt.ntt(base.to_mont(xa))
+                fb = base.ntt.ntt(base.to_mont(xb))
+                c0 = mont_mul(
+                    fa[..., 0, :, :], fb[..., 0, :, :], base.p_d, base.pni_d
+                )
+                c2 = mont_mul(
+                    fa[..., 1, :, :], fb[..., 1, :, :], base.p_d, base.pni_d
+                )
+                c1 = add_mod(
+                    mont_mul(fa[..., 0, :, :], fb[..., 1, :, :], base.p_d, base.pni_d),
+                    mont_mul(fa[..., 1, :, :], fb[..., 0, :, :], base.p_d, base.pni_d),
+                    base.p_d,
+                )
+                f = jnp.stack([c0, c1, c2], axis=-3)
+                return base.from_mont(base.ntt.intt(f))
+
+            x_q = tensor(q, xa, xb)                      # [..., 3, Lq, N]
+            a_bsk = self.conv_q_to_bsk(xa)
+            b_bsk = self.conv_q_to_bsk(xb)
+            x_b = tensor(bsk, a_bsk, b_bsk)              # [..., 3, Lb, N]
+
+            # fast floor of t·x / Q, computed in Bsk
+            xt_q = mont_mul(x_q, self.t_mont_q, q.p_d, q.pni_d)
+            xt_b = mont_mul(x_b, self.t_mont_bsk, bsk.p_d, bsk.pni_d)
+            conv = self.conv_q_to_bsk(xt_q)
+            y_b = mont_mul(
+                sub_mod(xt_b, conv, bsk.p_d), self.qinv_mont_bsk, bsk.p_d, bsk.pni_d
+            )
+            return self.sk_conv(y_b)                     # [..., 3, Lq, N] plain
+
+        y_q = self._jitted("multiply", impl)(a.data, b.data)
+        return Ciphertext(y_q, is_ntt=False, level=self.q.k)
+
+    def square(self, a: Ciphertext) -> Ciphertext:
+        return self.multiply(a, a)
+
+    def relinearize(self, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
+        """3-component -> 2-component via RNS-gadget key switching."""
+        assert ct.size == 3 and not ct.is_ntt and ct.level == self.q.k
+        q, qp = self.q, self.qp
+
+        def impl(data, ksk):
+            c2 = data[..., 2, :, :]  # [..., Lq, N] plain
+            u = None
+            for i in range(q.k):
+                d = c2[..., i : i + 1, :]  # digit: integer < q_i, [..., 1, N]
+                d_mont = mont_mul(d, qp.r2_d, qp.p_d, qp.pni_d)  # [..., Lqp, N]
+                d_ntt = qp.ntt.ntt(d_mont)
+                term = mont_mul(
+                    d_ntt[..., None, :, :], ksk[i], qp.p_d, qp.pni_d
+                )  # [..., 2, Lqp, N]
+                u = term if u is None else add_mod(u, term, qp.p_d)
+            u = qp.from_mont(qp.ntt.intt(u))  # [..., 2, Lqp, N] plain coeff
+            u_q = self.div_p(u[..., : q.k, :], u[..., q.k :, :])  # ÷ P
+            return add_mod(data[..., :2, :, :], u_q, q.p_d)
+
+        new = self._jitted("relinearize", impl)(ct.data, rk.ksk)
+        return Ciphertext(new, is_ntt=False, level=self.q.k)
+
+    def mod_switch_to(self, ct: Ciphertext, target_level: int) -> Ciphertext:
+        ct = self.from_ntt(ct)
+
+        def impl(data, start=ct.level):
+            lvl = start
+            while lvl > target_level:
+                div = self.div_drop[lvl]
+                data = div(data[..., : lvl - 1, :], data[..., lvl - 1 :, :])
+                lvl -= 1
+            return data
+
+        if ct.level == target_level:
+            return ct
+        f = self._jitted(("mod_switch", ct.level, target_level), impl)
+        return Ciphertext(f(ct.data), is_ntt=False, level=target_level)

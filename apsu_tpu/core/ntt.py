@@ -53,13 +53,17 @@ class NttContext:
         ninv = np.zeros((self.L,), dtype=np.uint32)
         for l, p in enumerate(self.primes):
             psi = nt.root_of_unity(2 * n, p)
-            psi_pows = np.empty(n, dtype=object)
-            cur = 1
+            psi_inv = pow(psi, -1, p)
+            psi_pows = np.empty(n, dtype=np.uint64)
+            ipsi_pows = np.empty(n, dtype=np.uint64)
+            cur, icur = 1, 1
             for i in range(n):
                 psi_pows[i] = cur
+                ipsi_pows[i] = icur
                 cur = cur * psi % p
-            wl = np.array([psi_pows[brev[j]] for j in range(n)], dtype=np.uint64)
-            wlinv = np.array([pow(int(x), -1, p) for x in wl], dtype=np.uint64)
+                icur = icur * psi_inv % p
+            wl = psi_pows[brev]
+            wlinv = ipsi_pows[brev]
             # store in Montgomery form
             w[l] = (wl << np.uint64(32)) % np.uint64(p)
             winv[l] = (wlinv << np.uint64(32)) % np.uint64(p)

@@ -1,0 +1,221 @@
+"""RNS bases and base-conversion kernels for the BFV multiply pipeline.
+
+Replaces SEAL's ``util/rns.cpp`` RNSTool (reference dependency surface,
+/root/reference/CMakeLists.txt:120-128) with a TPU-first design:
+
+* every limb prime is < 2^31 so residues live in uint32 lanes (mod32.py);
+* ``FastBConv`` (Bajard-Eynard-Hasan-Zucca 2016) is an un-corrected CRT
+  recombination — it may overshoot by α·Q with α < k.  In BFV multiply that
+  overshoot decrypts to noise of size ~N·t²·k (because t·Δ ≡ -(Q mod t) mod
+  Q), which is negligible against Δ for every parameter set we generate, so
+  unlike SEAL we skip the m_tilde Montgomery correction entirely;
+* the conversion back from the auxiliary base after scaling uses the exact
+  Shenoy–Kumaresan method through the m_sk channel (last limb of Bsk), since
+  overshoot there would alias modulo Q as full-size garbage.
+
+Device layout: residue tensors ``[..., k, N]`` (k limbs, N coefficients),
+PLAIN (non-Montgomery) form at the boundaries of every function here; the
+Montgomery factors are folded into the precomputed constants.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from apsu_tpu.core.mod32 import add_mod, mont_mul, sub_mod
+from apsu_tpu.core.ntt import NttContext
+
+
+def _mont(x: int, p: int) -> int:
+    return (x << 32) % p
+
+
+class RnsBase:
+    """A prime basis {p_1..p_k} with CRT constants and an NTT context."""
+
+    def __init__(self, primes: Sequence[int], n: int):
+        self.primes = [int(p) for p in primes]
+        self.k = len(self.primes)
+        self.n = n
+        self._ntt: NttContext | None = None  # lazy: table build is O(k·N) host work
+        self.prod = 1
+        for p in self.primes:
+            self.prod *= p
+        # punctured products and their inverses
+        self.phat = [self.prod // p for p in self.primes]
+        self.phat_inv = [pow(ph % p, -1, p) for ph, p in zip(self.phat, self.primes)]
+        # device constants
+        from apsu_tpu.core.mod32 import prime_consts
+
+        c = prime_consts(self.primes)
+        # NOTE: constants stay as host numpy arrays; they are baked into the
+        # HLO as literals at trace time.  Eagerly-created device arrays
+        # captured by jit compile pathologically slowly on the axon backend.
+        self.p_d = c.p.reshape(self.k, 1)
+        self.pni_d = c.p_neg_inv.reshape(self.k, 1)
+        self.r2_d = c.r2.reshape(self.k, 1)
+        self.phat_inv_mont_d = np.array(
+            [_mont(inv, p) for inv, p in zip(self.phat_inv, self.primes)],
+            dtype=np.uint32,
+        ).reshape(self.k, 1)
+
+    @property
+    def ntt(self) -> NttContext:
+        if self._ntt is None:
+            self._ntt = NttContext(self.primes, self.n)
+        return self._ntt
+
+    # -- residue decomposition of big ints (host) ---------------------------
+    def decompose(self, x: np.ndarray) -> np.ndarray:
+        """Big-int (object) array [..., N] -> residues [..., k, N] uint32."""
+        out = np.empty(x.shape[:-1] + (self.k, x.shape[-1]), dtype=np.uint32)
+        for i, p in enumerate(self.primes):
+            out[..., i, :] = np.vectorize(lambda v, p=p: int(v) % p, otypes=[np.uint64])(
+                x
+            ).astype(np.uint32)
+        return out
+
+    def compose(self, x: np.ndarray) -> np.ndarray:
+        """Residues [..., k, N] -> big-int object array [..., N] in [0, prod)."""
+        out = np.zeros(x.shape[:-2] + (x.shape[-1],), dtype=object)
+        for i, p in enumerate(self.primes):
+            coef = self.phat[i] * self.phat_inv[i] % self.prod
+            out = out + x[..., i, :].astype(object) * coef
+        return out % self.prod
+
+    def to_mont(self, x):
+        return mont_mul(x, self.r2_d, self.p_d, self.pni_d)
+
+    def from_mont(self, x):
+        return mont_mul(x, jnp.ones((), jnp.uint32), self.p_d, self.pni_d)
+
+
+class BaseConv:
+    """FastBConv from base ``src`` to base ``dst`` (both RnsBase).
+
+    out_j = Σ_i [x_i · p̂_i^{-1}]_{p_i} · [p̂_i]_{d_j}  (mod d_j)
+
+    Represents x + α·(src.prod) for some 0 ≤ α < src.k.
+    """
+
+    def __init__(self, src: RnsBase, dst: RnsBase):
+        self.src = src
+        self.dst = dst
+        m = np.zeros((src.k, dst.k), dtype=np.uint32)
+        for i, ph in enumerate(src.phat):
+            for j, d in enumerate(dst.primes):
+                m[i, j] = _mont(ph % d, d)
+        self.phat_mod_dst_mont_d = m  # [ks, kd] host numpy (traced as literal)
+
+    def __call__(self, x):
+        """x: [..., ks, N] plain residues -> [..., kd, N] plain residues."""
+        src, dst = self.src, self.dst
+        y = mont_mul(x, src.phat_inv_mont_d, src.p_d, src.pni_d)  # [..., ks, N]
+        out = jnp.zeros(x.shape[:-2] + (dst.k, x.shape[-1]), dtype=jnp.uint32)
+        for i in range(src.k):
+            term = mont_mul(
+                y[..., i : i + 1, :],
+                self.phat_mod_dst_mont_d[i].reshape(dst.k, 1),
+                dst.p_d,
+                dst.pni_d,
+            )
+            out = add_mod(out, term, dst.p_d)
+        return out
+
+
+class ShenoyKumaresanConv:
+    """Exact conversion from Bsk = B ∪ {m_sk} back to q.
+
+    B = first m-1 limbs of bsk, m_sk = last limb.  Given y < prod(B)/2·λ
+    (λ small) represented in Bsk, recovers y mod q exactly:
+
+      ŷ_q   = FastBConv(y_B, B → q)        (= y + α·prod(B) mod q)
+      ŷ_sk  = FastBConv(y_B, B → m_sk)
+      α     = [(ŷ_sk − y_sk) · prod(B)^{-1}]_{m_sk}   (centered)
+      out_q = ŷ_q − α·[prod(B)]_q
+    """
+
+    def __init__(self, bsk: RnsBase, q: RnsBase, n: int):
+        self.bsk = bsk
+        self.q = q
+        b_primes = bsk.primes[:-1]
+        self.m_sk = bsk.primes[-1]
+        self.B = RnsBase(b_primes, n)
+        self.conv_b_to_q = BaseConv(self.B, q)
+        self.conv_b_to_sk = BaseConv(self.B, RnsBase([self.m_sk], n))
+        msk = self.m_sk
+        self.prodB_inv_mod_sk_mont = np.array(
+            [_mont(pow(self.B.prod % msk, -1, msk), msk)], dtype=np.uint32
+        ).reshape(1, 1)
+        self.msk_d = np.array([msk], dtype=np.uint32).reshape(1, 1)
+        self.msk_ni_d = np.array(
+            [(-pow(msk, -1, 1 << 32)) % (1 << 32)], dtype=np.uint32
+        ).reshape(1, 1)
+        self.prodB_mod_q_mont = np.array(
+            [_mont(self.B.prod % p, p) for p in q.primes], dtype=np.uint32
+        ).reshape(q.k, 1)
+        self.msk_half = (self.m_sk + 1) // 2
+
+    def __call__(self, y):
+        """y: [..., kb+1, N] plain residues in Bsk -> [..., kq, N] mod q."""
+        y_b = y[..., :-1, :]
+        y_sk = y[..., -1:, :]
+        yhat_q = self.conv_b_to_q(y_b)                      # [..., kq, N]
+        yhat_sk = self.conv_b_to_sk(y_b)                    # [..., 1, N]
+        diff = sub_mod(yhat_sk, y_sk, self.msk_d)
+        alpha = mont_mul(diff, self.prodB_inv_mod_sk_mont, self.msk_d, self.msk_ni_d)
+        # alpha is centered: values >= msk/2 represent alpha - m_sk (negative)
+        neg = alpha >= jnp.uint32(self.msk_half)
+        alpha_abs = jnp.where(neg, self.msk_d - alpha, alpha)  # [..., 1, N]
+        # out = yhat_q -/+ alpha_abs * prodB mod q
+        # (mont_mul(plain, mont-const) yields a plain residue; alpha < m_sk
+        # may exceed q_j which is fine for mont_mul's input bounds)
+        q = self.q
+        term = mont_mul(alpha_abs, self.prodB_mod_q_mont, q.p_d, q.pni_d)  # plain
+        out_minus = sub_mod(yhat_q, term, q.p_d)
+        out_plus = add_mod(yhat_q, term, q.p_d)
+        return jnp.where(neg, out_plus, out_minus)
+
+
+class ExactDiv:
+    """Exact floor division of an RNS integer by one of its own moduli — the
+    mod-down primitive for key-switching (÷ special prime) and mod-switch
+    (÷ dropped data prime).
+
+    Given x mod (q ∪ {d}) with residue x_d of the divisor limb:
+      floor(x/d) mod q_j = (x_j − [x_d]_{q_j}) · d^{-1} mod q_j
+    (exact because x − x_d ≡ 0 mod d). Optional +d/2 pre-add gives
+    round-to-nearest.
+    """
+
+    def __init__(self, q: RnsBase, d: int, round_nearest: bool = True):
+        self.q = q
+        self.d = int(d)
+        self.round_nearest = round_nearest
+        self.d_inv_mont = np.array(
+            [_mont(pow(self.d % p, -1, p), p) for p in q.primes], dtype=np.uint32
+        ).reshape(q.k, 1)
+        half = self.d >> 1
+        self.half_mod_q = np.array(
+            [half % p for p in q.primes], dtype=np.uint32
+        ).reshape(q.k, 1)
+        self.half = np.uint32(half)
+        self.d_d = np.uint32(self.d)
+
+    def __call__(self, x_q, x_d):
+        """x_q: [..., kq, N] residues mod q; x_d: [..., 1, N] residue mod d."""
+        q = self.q
+        if self.round_nearest:
+            x_q = add_mod(x_q, self.half_mod_q, q.p_d)
+            s = x_d + self.half  # < 2^31 + 2^30, no overflow
+            x_d = jnp.where(s >= self.d_d, s - self.d_d, s)
+        # reduce x_d (integer < d < 2^31) modulo each q_j: one round trip
+        # through Montgomery form (mont then de-mont) performs the reduction
+        xd_mont = mont_mul(x_d, q.r2_d, q.p_d, q.pni_d)
+        xd_q = mont_mul(xd_mont, jnp.ones((), jnp.uint32), q.p_d, q.pni_d)
+        num = sub_mod(x_q, xd_q, q.p_d)
+        # plain × mont-const -> plain result
+        return mont_mul(num, self.d_inv_mont, q.p_d, q.pni_d)

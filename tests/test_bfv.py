@@ -1,0 +1,140 @@
+"""BFV correctness: encode/encrypt round trips, homomorphic ops, noise.
+
+Uses a small custom parameter set (N=256) so CPU runs stay fast; the op mix
+mirrors what the PSU protocol needs (reference surface:
+/root/reference/common/apsu/crypto_context.h:28 — BatchEncoder, symmetric
+Encryptor/Decryptor, Evaluator multiply/relinearize/multiply_plain/add/
+mod-switch).
+"""
+
+import numpy as np
+import pytest
+
+from apsu_tpu.core import nt
+from apsu_tpu.core.bfv import BfvContext
+from apsu_tpu.core.params import SealParams, rebase_coeff_modulus
+
+
+def make_ctx(n=256, t_bits=17, ref_bits=(40, 40, 30)):
+    t = nt.gen_batching_prime(t_bits, 2 * n)
+    coeff = rebase_coeff_modulus(ref_bits, n, exclude=[t])
+    sp = SealParams(
+        poly_modulus_degree=n,
+        plain_modulus=t,
+        coeff_modulus=tuple(coeff),
+        ref_coeff_modulus_bits=tuple(ref_bits),
+    )
+    return BfvContext(sp)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return make_ctx()
+
+
+@pytest.fixture(scope="module")
+def keys(ctx):
+    rng = np.random.default_rng(7)
+    sk = ctx.gen_secret_key(rng)
+    rk = ctx.gen_relin_key(sk, rng)
+    return sk, rk, rng
+
+
+def rand_slots(ctx, rng, lo=0):
+    return rng.integers(lo, ctx.t, size=ctx.n, dtype=np.uint64).astype(np.uint32)
+
+
+def test_encode_decode_roundtrip(ctx):
+    rng = np.random.default_rng(1)
+    v = rand_slots(ctx, rng)
+    poly = np.asarray(ctx.encode(v))
+    back = np.asarray(ctx.decode(poly))
+    np.testing.assert_array_equal(back, v)
+
+
+def test_encrypt_decrypt_roundtrip(ctx, keys):
+    sk, _, _ = keys
+    rng = np.random.default_rng(2)
+    v = rand_slots(ctx, rng)
+    ct = ctx.encrypt_symmetric(np.asarray(ctx.encode(v)), sk, rng)
+    assert ctx.noise_budget(ct, sk) > 40
+    got = np.asarray(ctx.decode(ctx.decrypt(ct, sk)))
+    np.testing.assert_array_equal(got, v)
+
+
+def test_add_and_add_plain(ctx, keys):
+    sk, _, _ = keys
+    rng = np.random.default_rng(3)
+    v1, v2, v3 = (rand_slots(ctx, rng) for _ in range(3))
+    ct1 = ctx.encrypt_symmetric(np.asarray(ctx.encode(v1)), sk, rng)
+    ct2 = ctx.encrypt_symmetric(np.asarray(ctx.encode(v2)), sk, rng)
+    s = ctx.add(ct1, ct2)
+    s = ctx.add_plain(s, np.asarray(ctx.encode(v3)))
+    got = np.asarray(ctx.decode(ctx.decrypt(s, sk)))
+    want = (v1.astype(np.uint64) + v2 + v3) % ctx.t
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_mul_plain_slotwise(ctx, keys):
+    sk, _, _ = keys
+    rng = np.random.default_rng(4)
+    v1, v2 = rand_slots(ctx, rng), rand_slots(ctx, rng)
+    ct = ctx.encrypt_symmetric(np.asarray(ctx.encode(v1)), sk, rng)
+    ct = ctx.to_ntt(ct)
+    pt_ntt = ctx.lift_plaintext_ntt(np.asarray(ctx.encode(v2)))
+    prod = ctx.mul_plain_ntt(ct, pt_ntt)
+    got = np.asarray(ctx.decode(ctx.decrypt(ctx.from_ntt(prod), sk)))
+    want = v1.astype(np.uint64) * v2 % ctx.t
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_ct_ct_multiply_and_relin(ctx, keys):
+    sk, rk, _ = keys
+    rng = np.random.default_rng(5)
+    v1, v2 = rand_slots(ctx, rng), rand_slots(ctx, rng)
+    ct1 = ctx.encrypt_symmetric(np.asarray(ctx.encode(v1)), sk, rng)
+    ct2 = ctx.encrypt_symmetric(np.asarray(ctx.encode(v2)), sk, rng)
+    prod3 = ctx.multiply(ct1, ct2)
+    want = (v1.astype(np.uint64) * v2 % ctx.t).astype(np.uint32)
+    # 3-component decrypt
+    got3 = np.asarray(ctx.decode(ctx.decrypt(prod3, sk)))
+    np.testing.assert_array_equal(got3, want)
+    # relinearized decrypt
+    prod2 = ctx.relinearize(prod3, rk)
+    assert prod2.size == 2
+    budget = ctx.noise_budget(prod2, sk)
+    assert budget > 10, f"noise budget exhausted after relin: {budget}"
+    got2 = np.asarray(ctx.decode(ctx.decrypt(prod2, sk)))
+    np.testing.assert_array_equal(got2, want)
+
+
+def test_power_chain_square_mul_relin():
+    """x, x², x³ — the PowersDag op mix (square + multiply + relinearize).
+
+    Needs a depth-2 modulus chain (each BFV multiply costs ~log2(N·t) ≈ 27
+    bits of budget), hence a deeper chain than the shared fixture.
+    """
+    ctx = make_ctx(n=256, ref_bits=(48, 48, 48, 28))
+    rng = np.random.default_rng(6)
+    sk = ctx.gen_secret_key(rng)
+    rk = ctx.gen_relin_key(sk, rng)
+    v = rand_slots(ctx, rng, lo=1)
+    ct1 = ctx.encrypt_symmetric(np.asarray(ctx.encode(v)), sk, rng)
+    ct2 = ctx.relinearize(ctx.square(ct1), rk)
+    ct3 = ctx.relinearize(ctx.multiply(ct2, ct1), rk)
+    got2 = np.asarray(ctx.decode(ctx.decrypt(ct2, sk)))
+    got3 = np.asarray(ctx.decode(ctx.decrypt(ct3, sk)))
+    v64 = v.astype(np.uint64)
+    np.testing.assert_array_equal(got2, (v64 * v64 % ctx.t).astype(np.uint32))
+    np.testing.assert_array_equal(got3, (v64 * v64 % ctx.t * v64 % ctx.t).astype(np.uint32))
+
+
+def test_mod_switch(ctx, keys):
+    sk, _, _ = keys
+    rng = np.random.default_rng(8)
+    v = rand_slots(ctx, rng)
+    ct = ctx.encrypt_symmetric(np.asarray(ctx.encode(v)), sk, rng)
+    low = ctx.mod_switch_to(ct, 1)
+    assert low.level == 1 and low.data.shape[1] == 1
+    got = np.asarray(ctx.decode(ctx.decrypt(low, sk)))
+    np.testing.assert_array_equal(got, v)
