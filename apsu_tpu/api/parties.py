@@ -1,0 +1,215 @@
+"""Sender / Receiver party objects (reference naming — see SURVEY §0:
+*Sender* holds the SMALL set and ultimately transfers its non-matching items;
+*Receiver* holds the LARGE preprocessed DB and evaluates homomorphically).
+
+Mirrors the lifecycle of /root/reference/sender/apsu/sender_osn.cpp
+(create_query :318-496, result decryption :642-708) and
+/root/reference/receiver/apsu/receiver_osn.cpp (RunQuery :140-540), with the
+PEQT/OT endgame pluggable (debug comparator or real MPC backends).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apsu_tpu.core.bfv import BfvContext, Ciphertext, RelinKey
+from apsu_tpu.core.params import PSUParams
+from apsu_tpu.db.receiver_db import ReceiverDB
+from apsu_tpu.engine.evaluator import compute_power_tensor, eval_matching_polys
+from apsu_tpu.engine.powers import plan_query
+from apsu_tpu.hash.cuckoo import CuckooTable, cuckoo_insert
+from apsu_tpu.hash.encoding import felts_from_items
+from apsu_tpu.hash.items import LocFuncs
+from apsu_tpu.mpc.oprf import OprfBackend
+
+
+@dataclass
+class QueryRequest:
+    """Wire content of rop_query (reference rop.fbs:15-24): ciphertext batches
+    for every source power + relinearization keys.
+
+    Data stays a single device/jnp array — D2H transfers over the TPU tunnel
+    cost ~0.5 s each irrespective of size, so the in-process path never pulls
+    to host; the network layer serializes with exactly one transfer.
+    """
+
+    power_list: Tuple[int, ...]          # sorted source powers
+    powers_data: jnp.ndarray             # [P, B, 2, L, N] ct data per power
+    relin_key: Optional[jnp.ndarray]     # [kdig, 2, Lqp, N] NTT mont or None
+
+
+@dataclass
+class QueryResponse:
+    """All result packages of one query, batched (reference streams one
+    ResultPackage per (bundle_idx, cache) — result_package.h:42-69)."""
+
+    results: np.ndarray                  # [B, C, 2, Le, N] coeff-domain ct
+    eval_level: int
+
+
+class Sender:
+    """Query side (small set)."""
+
+    def __init__(
+        self,
+        params: PSUParams,
+        oprf: OprfBackend,
+        seed: int = 1,
+        loc_seed: bytes = b"apsu-loc",
+    ):
+        self.params = params
+        self.oprf = oprf
+        self.bfv = BfvContext(params.seal_params)
+        self.rng = np.random.default_rng(seed)
+        self.sk = self.bfv.gen_secret_key(self.rng)
+        needs_relin = bool(
+            plan_query(
+                params.query_params.query_powers,
+                params.table_params.max_items_per_bin,
+                params.query_params.ps_low_degree,
+            ).low.levels
+        ) or params.query_params.ps_low_degree > 0
+        self.rk = self.bfv.gen_relin_key(self.sk, self.rng) if needs_relin else None
+        self.locs = LocFuncs(
+            params.table_params.table_size, params.table_params.hash_func_count, loc_seed
+        )
+        self.cuckoo: Optional[CuckooTable] = None
+        self._items: Optional[np.ndarray] = None
+
+    def create_query(self, items: np.ndarray) -> QueryRequest:
+        """items: [n, 2] uint64 hashed items -> encrypted query powers."""
+        p = self.params
+        tp = p.table_params
+        self._items = items
+        self.cuckoo = cuckoo_insert(
+            items, tp.table_size, tp.hash_func_count, locs=self.locs
+        )
+        slots = np.arange(tp.table_size, dtype=np.int64)
+        prf = self.oprf.eval(self.cuckoo.table, slots)
+        felts = felts_from_items(
+            prf, p.felts_per_item, p.item_bit_count_per_felt
+        )  # [table_size, fpi]
+        self._query_felts = felts
+
+        # slot vector per bundle index: lane (s % ipb)·fpi + f = felt f of slot s
+        B, N, ipb, fpi = p.bundle_idx_count, p.poly_degree, p.items_per_bundle, p.felts_per_item
+        qvec = np.zeros((B, N), dtype=np.uint32)
+        b = slots // ipb
+        lane = (slots % ipb) * fpi
+        for f in range(fpi):
+            qvec[b, lane + f] = felts[:, f]
+
+        # plaintext powers of the query vector, batch-encoded and encrypted in
+        # ONE device call over a [P, B, N] stack (reference computes these
+        # per-power on threads: PlaintextPowers, sender_osn.cpp:466-484)
+        t = p.seal_params.plain_modulus
+        plist = tuple(p.query_params.query_powers)
+        stack = np.stack(
+            [
+                _pow_mod(qvec.astype(np.uint64), s, t).astype(np.uint32)
+                for s in plist
+            ]
+        )  # [P, B, N]
+        pt = self.bfv.encode(stack)
+        ct = self.bfv.encrypt_symmetric(pt, self.sk, self.rng)  # [P, B, 2, L, N]
+        return QueryRequest(
+            power_list=plist,
+            powers_data=ct.data,
+            relin_key=self.rk.ksk if self.rk else None,
+        )
+
+    def extract_matrix(self, resp: QueryResponse) -> np.ndarray:
+        """Decrypt result packages -> slot-value matrix [B, C, N] mod t."""
+        ct = Ciphertext(jnp.asarray(resp.results), is_ntt=False, level=resp.eval_level)
+        polys = self.bfv.decrypt(ct, self.sk)          # [B, C, N]
+        return jax.device_get(self.bfv.decode(polys))
+
+    def peqt_matrix(self, slot_matrix: np.ndarray) -> np.ndarray:
+        """[B, C, N] -> per-item felt blocks [C, table_size, fpi]."""
+        return _slots_to_item_blocks(self.params, slot_matrix)
+
+
+class Receiver:
+    """DB side (large set)."""
+
+    def __init__(self, params: PSUParams, db: ReceiverDB, seed: int = 2):
+        self.params = params
+        self.db = db
+        self.bfv = db.bfv
+        self.rng = np.random.default_rng(seed)
+        self.plan = plan_query(
+            params.query_params.query_powers,
+            params.table_params.max_items_per_bin,
+            params.query_params.ps_low_degree,
+        )
+        self.last_mask: Optional[np.ndarray] = None
+
+    def run_query(self, req: QueryRequest) -> QueryResponse:
+        p = self.params
+        k = self.bfv.q.k
+        cts = {
+            s: Ciphertext(req.powers_data[i], is_ntt=False, level=k)
+            for i, s in enumerate(req.power_list)
+        }
+        rk = (
+            RelinKey(jnp.asarray(req.relin_key), k)
+            if req.relin_key is not None
+            else None
+        )
+        if self.plan.uses_ps:
+            raise NotImplementedError("Paterson-Stockmeyer path lands next")
+        powers = compute_power_tensor(
+            self.bfv, cts, self.plan.low, rk, self.db.eval_lvl
+        )  # [D, B, 2, Le, N]
+        powers = jnp.moveaxis(powers, 0, 1)  # [B, D, 2, Le, N]
+
+        C = self.db.coeff_cache.shape[1]
+        B, N = p.bundle_idx_count, p.poly_degree
+        t = p.seal_params.plain_modulus
+        mask = self.rng.integers(0, t, size=(B, C, N), dtype=np.uint64).astype(np.uint32)
+        self.last_mask = mask
+        res = eval_matching_polys(
+            self.bfv,
+            powers,
+            self.db.coeff_cache,
+            self.db.const_slots,
+            jnp.asarray(mask),
+            self.db.eval_lvl,
+        )
+        return QueryResponse(results=res.data, eval_level=self.db.eval_lvl)
+
+    def peqt_matrix(self) -> np.ndarray:
+        """Mask matrix in per-item felt-block form [C, table_size, fpi]."""
+        return _slots_to_item_blocks(self.params, self.last_mask)
+
+
+def _pow_mod(base: np.ndarray, e: int, m: int) -> np.ndarray:
+    """Vectorized square-and-multiply (values < 2^32, m < 2^31: uint64-safe)."""
+    result = np.ones_like(base)
+    b = base % np.uint64(m)
+    while e:
+        if e & 1:
+            result = result * b % np.uint64(m)
+        b = b * b % np.uint64(m)
+        e >>= 1
+    return result
+
+
+def _slots_to_item_blocks(params: PSUParams, slot_matrix: np.ndarray) -> np.ndarray:
+    """[B, C, N] slot values -> [C, table_size, fpi] per-item felt blocks."""
+    p = params
+    tp = p.table_params
+    ipb, fpi = p.items_per_bundle, p.felts_per_item
+    slots = np.arange(tp.table_size)
+    b = slots // ipb
+    lane = (slots % ipb) * fpi
+    C = slot_matrix.shape[1]
+    out = np.empty((C, tp.table_size, fpi), dtype=slot_matrix.dtype)
+    for f in range(fpi):
+        out[:, :, f] = slot_matrix[b, :, lane + f].T
+    return out

@@ -264,9 +264,7 @@ class BfvContext:
             as_coeff = q.from_mont(
                 q.ntt.intt(mont_mul(a_ntt, s_ntt, q.p_d, q.pni_d))
             )
-            dm = mont_mul(
-                pt[..., None, :], self.delta_mont_q, q.p_d, q.pni_d
-            )  # Δ·m mod q_i (plain)
+            dm = self._scale_impl(pt, q.k)  # round(Q·m/t) mod q_i (plain)
             c0 = add_mod(neg_mod(add_mod(as_coeff, e, q.p_d), q.p_d), dm, q.p_d)
             return jnp.stack([c0, a], axis=-3)
 
@@ -275,7 +273,7 @@ class BfvContext:
 
     def decrypt(self, ct: Ciphertext, sk: SecretKey) -> np.ndarray:
         """Returns the plaintext polynomial(s) mod t (host numpy, [..., N])."""
-        x = np.asarray(self._dot_with_secret(ct, sk))  # [..., L, N] plain coeff
+        x = jax.device_get(self._dot_with_secret(ct, sk))  # [..., L, N] plain coeff
         base = self.levels[ct.level]
         big = base.compose(x)  # object ints in [0, prod), [..., N]
         Ql = base.prod
@@ -311,7 +309,7 @@ class BfvContext:
 
     def noise_budget(self, ct: Ciphertext, sk: SecretKey) -> float:
         """Bits of invariant-noise budget remaining (SEAL semantics)."""
-        x = np.asarray(self._dot_with_secret(ct, sk))
+        x = jax.device_get(self._dot_with_secret(ct, sk))
         base = self.levels[ct.level]
         big = base.compose(x)
         Ql = base.prod
@@ -362,13 +360,50 @@ class BfvContext:
             [_mont(dl % p, p) for p in base.primes], dtype=np.uint32
         ).reshape(base.k, 1)
 
+    def scale_plain(self, pt, level: int):
+        """round(Q_l·m/t) mod q_j for plaintext m [..., N] — SEAL's
+        add-plain-with-scaling variant, done RNS-style.
+
+        Scaling by ⌊Q/t⌋ would add (Q mod t)·m/Q ≈ 2^-16 invariant noise per
+        coefficient — catastrophic for tight parameter sets.  Exact rounding
+        is free in RNS because Q ≡ 0 (mod q_j):
+            round(Q·m/t) = (Q·m + h − rem)/t,  rem = (r·m + h) mod t,
+            ≡ (h − rem)·t^{-1}  (mod q_j),     r = Q mod t, h = t>>1.
+        Returns plain residues [..., L, N].
+        """
+        base = self.levels[level]
+        t = self.t
+        r = base.prod % t
+        h = t >> 1
+        return self._jitted(("scale_plain", level), lambda m: self._scale_impl(m, level))(
+            jnp.asarray(pt, jnp.uint32)
+        )
+
+    def _scale_impl(self, m, level: int):
+        """Traced body of scale_plain (callable inside other jitted kernels)."""
+        base = self.levels[level]
+        t = self.t
+        r = base.prod % t
+        h = t >> 1
+        tc = self.t_base
+        m1 = m[..., None, :]  # [..., 1, N] for mod-t broadcasting
+        rm = mont_mul(m1, np.uint32(_mont(r, t)), tc.p_d, tc.pni_d)
+        rem = add_mod(rm, np.uint32(h), tc.p_d)      # [..., 1, N] < t
+        hq = np.array([h % p for p in base.primes], dtype=np.uint32).reshape(base.k, 1)
+        tinv = np.array(
+            [_mont(pow(t % p, -1, p), p) for p in base.primes], dtype=np.uint32
+        ).reshape(base.k, 1)
+        diff = sub_mod(
+            jnp.broadcast_to(hq, rem.shape[:-2] + (base.k, self.n)), rem, base.p_d
+        )  # rem < t < q_j: valid residue mod q_j
+        return mont_mul(diff, tinv, base.p_d, base.pni_d)
+
     def add_plain(self, ct: Ciphertext, pt_poly) -> Ciphertext:
         """Add Δ·pt to c0 (pt_poly: [..., N] plaintext polynomial mod t)."""
         base = self._base(ct)
-        delta_mont = self.delta_mont_at(ct.level)
 
         def impl(data, pt):
-            dm = mont_mul(pt[..., None, :], delta_mont, base.p_d, base.pni_d)
+            dm = self._scale_impl(pt, ct.level)  # round(Q_l·m/t), plain
             if ct.is_ntt:
                 dm = base.ntt.ntt(base.to_mont(dm))
             c0 = add_mod(data[..., 0, :, :], dm, base.p_d)

@@ -49,23 +49,30 @@ class QueryParams:
 
 @dataclass(frozen=True)
 class SealParams:
-    """BFV parameters, re-based onto ≤30-bit limbs."""
+    """BFV parameters, re-based onto ≤30-bit limbs.
+
+    ``has_special`` reserves the last prime for key switching (SEAL's
+    convention) — set only when the query plan actually relinearizes;
+    source-covered power sets (e.g. 100K-1) keep the whole chain as data
+    modulus, matching the reference's single-prime no-relin configs.
+    """
 
     poly_modulus_degree: int
     plain_modulus: int
-    coeff_modulus: Tuple[int, ...]       # data primes + one special prime (last)
+    coeff_modulus: Tuple[int, ...]       # data primes (+ special prime last)
     ref_coeff_modulus_bits: Tuple[int, ...]  # what the JSON asked for
+    has_special: bool = True
 
     @property
     def data_modulus(self) -> Tuple[int, ...]:
         """Primes used for ciphertexts (all but the special prime)."""
-        if len(self.coeff_modulus) == 1:
+        if len(self.coeff_modulus) == 1 or not self.has_special:
             return self.coeff_modulus
         return self.coeff_modulus[:-1]
 
     @property
     def special_modulus(self) -> int | None:
-        if len(self.coeff_modulus) == 1:
+        if len(self.coeff_modulus) == 1 or not self.has_special:
             return None
         return self.coeff_modulus[-1]
 
@@ -177,11 +184,18 @@ class PSUParams:
             raise ValueError("missing plain_modulus / plain_modulus_bits")
         ref_bits = tuple(int(b) for b in sp["coeff_modulus_bits"])
         coeff = rebase_coeff_modulus(ref_bits, n, exclude=[t])
+        # relinearization (hence a reserved special prime) is needed only when
+        # the query powers don't already cover every degree, or PS is on
+        covered = set(query_params.query_powers) >= set(
+            range(1, table_params.max_items_per_bin + 1)
+        )
+        needs_relin = query_params.ps_low_degree > 0 or not covered
         seal_params = SealParams(
             poly_modulus_degree=n,
             plain_modulus=t,
             coeff_modulus=tuple(coeff),
             ref_coeff_modulus_bits=ref_bits,
+            has_special=needs_relin,
         )
         params = PSUParams(table_params, item_params, query_params, seal_params)
         params.validate()

@@ -1,0 +1,188 @@
+"""ReceiverDB — the large-set party's preprocessed database as dense tensors.
+
+Replaces the reference's ``ReceiverDB`` + ``BinBundle`` object graph
+(/root/reference/receiver/apsu/receiver_db.cpp — cuckoo-location insert
+pipeline at :246-510; /root/reference/receiver/apsu/bin_bundle.cpp — per-bin
+polynomials and batched plaintext caches at :366-430, :975-1026) with a
+TPU-first representation:
+
+* a *BinBundle* ceases to exist as an object — the whole DB partition is
+    roots   [B, C, K, N]   (B bundle indices, C caches = the reference's
+                            alpha/cache axis, K = max_items_per_bin,
+                            N = poly degree lanes)
+  built by vectorized numpy scatter from (item, slot) pairs, then
+* one device pass computes every matching polynomial at once
+  (engine/interpolate.py), and
+* the *evaluation cache* is the batch-encoded, q-lifted, NTT'd coefficient
+  tensor ``coeff_cache [B, C, K+1, L, N]`` resident in HBM — the operand of
+  the hot query kernel.
+
+Insertion semantics match the reference: each item is inserted at every one
+of its ``hash_func_count`` cuckoo locations (receiver_db.cpp:70-79
+``all_locations``); within a slot, overflow beyond ``max_items_per_bin``
+spills into the next cache (the BinBundle multi_insert first-fit of
+bin_bundle.cpp:477 with uniform capacity); every insert stores the item's
+``felts_per_item`` field elements in consecutive lanes of the same cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apsu_tpu.core.bfv import BfvContext
+from apsu_tpu.core.params import PSUParams
+from apsu_tpu.engine.interpolate import polyn_with_roots
+from apsu_tpu.hash.encoding import felts_from_items
+from apsu_tpu.hash.items import LocFuncs
+from apsu_tpu.mpc.oprf import OprfBackend
+
+
+@dataclasses.dataclass
+class DbStats:
+    n_items: int
+    n_insertions: int
+    n_caches: int            # alpha_max_cache_count
+    cache_counts: np.ndarray  # [B] caches actually used per bundle index
+    max_bin_load: int
+
+
+class ReceiverDB:
+    def __init__(
+        self,
+        params: PSUParams,
+        oprf: OprfBackend,
+        bfv: Optional[BfvContext] = None,
+        loc_seed: bytes = b"apsu-loc",
+    ):
+        self.params = params
+        self.oprf = oprf
+        self.bfv = bfv or BfvContext(params.seal_params)
+        tp = params.table_params
+        self.locs = LocFuncs(tp.table_size, tp.hash_func_count, loc_seed)
+        self.coeff_cache: Optional[jnp.ndarray] = None  # [B, C, K+1, L, N] NTT mont
+        self.stats: Optional[DbStats] = None
+        self._raw_coeff_slots: Optional[np.ndarray] = None  # kept until strip()
+
+    # ------------------------------------------------------------------
+    def set_data(self, items: np.ndarray, eval_level: Optional[int] = None) -> DbStats:
+        """items: [n, 2] uint64 128-bit hashed items. Builds the eval cache."""
+        p = self.params
+        tp = p.table_params
+        n = items.shape[0]
+        h = tp.hash_func_count
+        fpi = p.felts_per_item
+        K = tp.max_items_per_bin
+        B = p.bundle_idx_count
+        N = p.poly_degree
+        ipb = p.items_per_bundle
+
+        # 1. all cuckoo locations, flattened (item, slot) pairs
+        locs = self.locs.locations(items)          # [n, h]
+        slots = locs.reshape(-1)                   # [n*h]
+        rep = np.repeat(items, h, axis=0)
+
+        # drop duplicate (item, slot) pairs arising from colliding loc funcs
+        # (the reference's all_locations is a set, receiver_db.cpp:70-79)
+        if h > 1:
+            keep = np.ones(len(slots), dtype=bool)
+            order0 = np.lexsort((rep[:, 1], rep[:, 0], slots))
+            sk, r0, r1 = slots[order0], rep[order0, 0], rep[order0, 1]
+            dup = (sk[1:] == sk[:-1]) & (r0[1:] == r0[:-1]) & (r1[1:] == r1[:-1])
+            keep_sorted = np.concatenate([[True], ~dup])
+            keep[order0] = keep_sorted
+            slots, rep = slots[keep], rep[keep]
+
+        # 2. slot-bound OPRF, 3. felts
+        prf = self.oprf.eval(rep, slots)
+        felts = felts_from_items(prf, fpi, p.item_bit_count_per_felt)  # [m, fpi]
+
+        # 4. per-slot ranks -> (cache, depth)
+        order = np.argsort(slots, kind="stable")
+        ss = slots[order]
+        first = np.searchsorted(ss, ss, side="left")
+        ranks = np.empty(len(ss), dtype=np.int64)
+        ranks[order] = np.arange(len(ss)) - first
+        cache_idx = ranks // K
+        depth = ranks % K
+        C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
+
+        # 5. dense roots tensor + per-lane counts
+        bundle_idx = slots // ipb
+        lane = (slots % ipb) * fpi
+        roots = np.zeros((B, C, K, N), dtype=np.uint32)
+        counts = np.zeros((B, C, N), dtype=np.int32)
+        for f in range(fpi):
+            roots[bundle_idx, cache_idx, depth, lane + f] = felts[:, f]
+        slot_counts = np.bincount(slots, minlength=tp.table_size)
+        per_bundle_caches = np.zeros(B, dtype=np.int64)
+        sidx = np.arange(tp.table_size)
+        sb = sidx // ipb
+        sl = (sidx % ipb) * fpi
+        for c in range(C):
+            cnt_c = np.clip(slot_counts - c * K, 0, K).astype(np.int32)
+            for f in range(fpi):
+                counts[sb, c, sl + f] = cnt_c
+            used = np.bincount(sb[cnt_c > 0], minlength=B) > 0
+            per_bundle_caches[used] += 1
+
+        # 6. device: polynomials -> batch encode -> lift to NTT mod q
+        lvl = eval_level or self.eval_level()
+        t = p.seal_params.plain_modulus
+
+        def build(roots_d, counts_d):
+            coeffs = polyn_with_roots(roots_d, counts_d, t)    # [B, C, K+1, N] mod t
+            polys = self.bfv.encode(coeffs)                    # batch-encode slots
+            cache = self.bfv.lift_plaintext_ntt(polys, lvl)    # [B, C, K+1, L, N]
+            # constant coefficients stay in slot domain: the evaluator folds
+            # them into the per-query random mask before encoding
+            return cache, coeffs[..., 0, :]
+
+        self.coeff_cache, self.const_slots = self.bfv._jitted(
+            ("db_build", lvl), build
+        )(jnp.asarray(roots), jnp.asarray(counts))
+        self.eval_lvl = lvl
+        self.stats = DbStats(
+            n_items=n,
+            n_insertions=len(slots),
+            n_caches=C,
+            cache_counts=per_bundle_caches,
+            max_bin_load=int(slot_counts.max()) if len(slot_counts) else 0,
+        )
+        if self.stats.max_bin_load > K * C:
+            raise ValueError("bin overflow beyond cache capacity")
+        return self.stats
+
+    # ------------------------------------------------------------------
+    def eval_level(self) -> int:
+        """Smallest modulus level with enough room for the matching-poly sum.
+
+        Needs log2(Q_l) ≳ 2·log2 t + ½·log2(N/12) + log2(K+1) + margin —
+        the invariant-noise estimate for a degree-K ct×pt dot product over
+        batch-encoded plaintexts.
+        """
+        import math
+
+        sp = self.params.seal_params
+        t_bits = sp.plain_modulus.bit_length()
+        need = (
+            2 * t_bits
+            - 1
+            + 0.5 * (math.log2(self.params.poly_degree) - 3.58)
+            + math.log2(self.params.table_params.max_items_per_bin + 1)
+            + 8
+        )
+        bits = 0
+        for lvl, q in enumerate(self.bfv.q_primes, start=1):
+            bits += q.bit_length()
+            if bits >= need:
+                return lvl
+        return len(self.bfv.q_primes)
+
+    def strip(self) -> None:
+        """Drop raw data, keep only the evaluation cache (receiver_db.cpp:828)."""
+        self._raw_coeff_slots = None

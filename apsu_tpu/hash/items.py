@@ -1,0 +1,93 @@
+"""Item hashing and vectorized table-location functions.
+
+Mirrors the roles of the reference's ``Item::hash_to_value`` (Blake2b to a
+128-bit value, /root/reference/common/apsu/item.cpp:13) and Kuku's
+``LocFunc`` (cuckoo table locations, used at
+/root/reference/sender/apsu/sender_osn.cpp:330-374 and
+/root/reference/receiver/apsu/receiver_db.cpp:70-79).
+
+TPU-first deviation: locations are a vectorized multiply-shift universal hash
+over the 128-bit item hash instead of per-item keyed Blake2 calls — the DB
+side computes hash_func_count locations for up to 256M items, which must be
+a numpy-vectorized O(n) pass, not 10^8 hashlib invocations.  Location
+functions need only spread well (Kuku's are not cryptographic either); all
+pseudorandomness guarantees come from the per-slot OPRF layer above.
+
+Items are represented as ``np.uint64`` arrays of shape [n, 2] (lo, hi words).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, List, Sequence
+
+import numpy as np
+
+ITEM_BYTES = 16
+
+
+def hash_item(data) -> tuple:
+    """Arbitrary input -> 128-bit value (lo, hi) via Blake2b."""
+    if isinstance(data, str):
+        data = data.encode()
+    elif isinstance(data, int):
+        data = data.to_bytes((max(data.bit_length(), 1) + 7) // 8, "little")
+    h = hashlib.blake2b(data, digest_size=ITEM_BYTES).digest()
+    return (
+        int.from_bytes(h[:8], "little"),
+        int.from_bytes(h[8:], "little"),
+    )
+
+
+def hash_items(items: Iterable) -> np.ndarray:
+    """List of str/bytes/int -> [n, 2] uint64 (lo, hi)."""
+    out = np.empty((len(items) if hasattr(items, "__len__") else 0, 2), dtype=np.uint64)
+    vals: List = items if hasattr(items, "__len__") else list(items)
+    out = np.empty((len(vals), 2), dtype=np.uint64)
+    for i, it in enumerate(vals):
+        lo, hi = hash_item(it)
+        out[i, 0] = lo
+        out[i, 1] = hi
+    return out
+
+
+def random_items(n: int, rng: np.random.Generator) -> np.ndarray:
+    """Synthetic 128-bit items (already in hash space), [n, 2] uint64."""
+    return rng.integers(0, 1 << 64, size=(n, 2), dtype=np.uint64)
+
+
+class LocFuncs:
+    """hash_func_count vectorized multiply-shift location functions.
+
+    loc_i(x) = high64((x_lo·A_i + x_hi·B_i + C_i) mod 2^64 scaled to table):
+    uses the Lemire reduction ``(v * table_size) >> 64`` implemented with
+    uint64 arithmetic split into 32-bit halves.
+    """
+
+    def __init__(self, table_size: int, func_count: int, seed: bytes = b"apsu-loc"):
+        self.table_size = int(table_size)
+        self.func_count = int(func_count)
+        st = np.random.Generator(
+            np.random.Philox(
+                int.from_bytes(hashlib.blake2b(seed, digest_size=8).digest(), "little")
+            )
+        )
+        self.A = st.integers(0, 1 << 64, size=func_count, dtype=np.uint64) | np.uint64(1)
+        self.B = st.integers(0, 1 << 64, size=func_count, dtype=np.uint64) | np.uint64(1)
+        self.C = st.integers(0, 1 << 64, size=func_count, dtype=np.uint64)
+
+    def locations(self, items: np.ndarray) -> np.ndarray:
+        """items [n, 2] uint64 -> [n, func_count] int64 table locations."""
+        lo = items[:, 0:1]
+        hi = items[:, 1:2]
+        v = lo * self.A[None, :] + hi * self.B[None, :] + self.C[None, :]  # mod 2^64
+        # mix before reduction: v ^= v >> 33; v *= odd const (xorshift-multiply)
+        v ^= v >> np.uint64(33)
+        v *= np.uint64(0xFF51AFD7ED558CCD)
+        v ^= v >> np.uint64(33)
+        # Lemire map to [0, table_size): high 64 bits of v * table_size
+        m = np.uint64(self.table_size)
+        v_lo = v & np.uint64(0xFFFFFFFF)
+        v_hi = v >> np.uint64(32)
+        prod_hi = v_hi * m + ((v_lo * m) >> np.uint64(32))
+        return (prod_hi >> np.uint64(32)).astype(np.int64)

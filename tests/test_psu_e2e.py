@@ -1,0 +1,112 @@
+"""End-to-end PSU correctness with the set-algebra oracle.
+
+Oracle mirrors the reference's auto_test ``check_ans``
+(/root/reference/tools/auto_test.py:16-39): transferred = query ∖ db,
+no transferred item may be in db, union cardinality adds up.
+"""
+
+import numpy as np
+import pytest
+
+from apsu_tpu.api.protocol import run_psu
+from apsu_tpu.core.params import PSUParams
+
+
+def small_params(
+    table_size=64,
+    max_items_per_bin=8,
+    hash_func_count=2,
+    n=256,
+    query_powers=(1, 2, 3, 4, 5, 6, 7, 8),
+    ps_low_degree=0,
+    coeff_bits=(40, 40, 30),
+):
+    return PSUParams.from_dict(
+        {
+            "table_params": {
+                "hash_func_count": hash_func_count,
+                "table_size": table_size,
+                "max_items_per_bin": max_items_per_bin,
+            },
+            "item_params": {"felts_per_item": 4},
+            "query_params": {
+                "ps_low_degree": ps_low_degree,
+                "query_powers": list(query_powers),
+            },
+            "seal_params": {
+                "plain_modulus": 65537,
+                "poly_modulus_degree": n,
+                "coeff_modulus_bits": list(coeff_bits),
+            },
+        }
+    )
+
+
+def make_sets(rng, n_db, n_query, n_common):
+    """Random 128-bit item sets with a planted intersection."""
+    db = rng.integers(0, 1 << 64, size=(n_db, 2), dtype=np.uint64)
+    fresh = rng.integers(0, 1 << 64, size=(n_query - n_common, 2), dtype=np.uint64)
+    common = db[rng.choice(n_db, size=n_common, replace=False)]
+    query = np.concatenate([fresh, common])
+    rng.shuffle(query)
+    return db, query
+
+
+def as_set(a):
+    return {(int(x), int(y)) for x, y in a}
+
+
+def check_oracle(db, query, result):
+    """The reference's check_ans semantics (auto_test.py:16-39)."""
+    dbs, qs = as_set(db), as_set(query)
+    trans = as_set(result.transferred)
+    union = as_set(result.union)
+    assert trans == qs - dbs, (
+        f"transferred != query - db: missing {len((qs - dbs) - trans)}, "
+        f"extra {len(trans - (qs - dbs))}"
+    )
+    assert union == dbs | qs
+    assert not (trans & dbs)
+    assert len(union) == len(dbs) + len(qs - dbs)
+
+
+def test_psu_small_no_multiply():
+    """All powers are query sources: no ct×ct needed (100K-1 shape)."""
+    rng = np.random.default_rng(0)
+    params = small_params()
+    db, query = make_sets(rng, n_db=300, n_query=40, n_common=17)
+    res = run_psu(params, query, db)
+    check_oracle(db, query, res)
+
+
+def test_psu_with_power_dag():
+    """Sparse query powers force ct×ct multiplies + relinearization."""
+    rng = np.random.default_rng(1)
+    params = small_params(
+        table_size=128,
+        hash_func_count=3,
+        max_items_per_bin=16,
+        query_powers=(1, 2, 5, 8, 11, 14, 15, 16),
+        coeff_bits=(48, 48, 48, 28),
+    )
+    db, query = make_sets(rng, n_db=400, n_query=50, n_common=23)
+    res = run_psu(params, query, db)
+    check_oracle(db, query, res)
+
+
+def test_psu_empty_intersection():
+    rng = np.random.default_rng(2)
+    params = small_params()
+    db, query = make_sets(rng, n_db=200, n_query=30, n_common=0)
+    res = run_psu(params, query, db)
+    check_oracle(db, query, res)
+    assert len(res.transferred) == 30
+
+
+def test_psu_full_overlap():
+    rng = np.random.default_rng(3)
+    params = small_params()
+    db, query = make_sets(rng, n_db=200, n_query=25, n_common=25)
+    res = run_psu(params, query, db)
+    check_oracle(db, query, res)
+    assert len(res.transferred) == 0
