@@ -20,7 +20,12 @@ import numpy as np
 from apsu_tpu.core.bfv import BfvContext, Ciphertext, RelinKey
 from apsu_tpu.core.params import PSUParams
 from apsu_tpu.db.receiver_db import ReceiverDB
-from apsu_tpu.engine.evaluator import compute_power_tensor, eval_matching_polys
+from apsu_tpu.engine.evaluator import (
+    compute_power_tensor,
+    compute_ps_power_tensors,
+    eval_matching_polys,
+    eval_matching_polys_ps,
+)
 from apsu_tpu.engine.powers import plan_query
 from apsu_tpu.hash.cuckoo import CuckooTable, cuckoo_insert
 from apsu_tpu.hash.encoding import felts_from_items
@@ -161,18 +166,31 @@ class Receiver:
             if req.relin_key is not None
             else None
         )
-        if self.plan.uses_ps:
-            raise NotImplementedError("Paterson-Stockmeyer path lands next")
-        powers = compute_power_tensor(
-            self.bfv, cts, self.plan.low, rk, self.db.eval_lvl
-        )  # [D, B, 2, Le, N]
-        powers = jnp.moveaxis(powers, 0, 1)  # [B, D, 2, Le, N]
-
         C = self.db.coeff_cache.shape[1]
         B, N = p.bundle_idx_count, p.poly_degree
         t = p.seal_params.plain_modulus
         mask = self.rng.integers(0, t, size=(B, C, N), dtype=np.uint64).astype(np.uint32)
         self.last_mask = mask
+
+        if self.plan.uses_ps:
+            low_ntt, high_coeff = compute_ps_power_tensors(self.bfv, cts, self.plan, rk)
+            res = eval_matching_polys_ps(
+                self.bfv,
+                jnp.moveaxis(low_ntt, 0, 1),     # [B, ℓ, 2, L, N]
+                jnp.moveaxis(high_coeff, 0, 1),  # [B, nh, 2, L, N]
+                self.db.coeff_cache,
+                self.db.ps_const_polys,
+                jnp.asarray(mask),
+                rk,
+                p.query_params.ps_low_degree,
+                self.db.result_lvl,
+            )
+            return QueryResponse(results=res.data, eval_level=self.db.result_lvl)
+
+        powers = compute_power_tensor(
+            self.bfv, cts, self.plan.low, rk, self.db.eval_lvl
+        )  # [D, B, 2, Le, N]
+        powers = jnp.moveaxis(powers, 0, 1)  # [B, D, 2, Le, N]
         res = eval_matching_polys(
             self.bfv,
             powers,

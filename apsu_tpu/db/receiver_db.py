@@ -130,22 +130,40 @@ class ReceiverDB:
             used = np.bincount(sb[cnt_c > 0], minlength=B) > 0
             per_bundle_caches[used] += 1
 
-        # 6. device: polynomials -> batch encode -> lift to NTT mod q
-        lvl = eval_level or self.eval_level()
+        # 6. device: polynomials -> batch encode -> lift to NTT mod q.
+        # PS configs keep the cache at FULL level (the outer ct×ct products
+        # happen there) and additionally retain the encoded chunk-constant
+        # polynomials c_{k·(ℓ+1)} in coefficient domain.
+        ps_low = p.query_params.ps_low_degree
+        uses_ps = ps_low > 0
+        lvl = self.bfv.q.k if uses_ps else (eval_level or self.eval_level())
         t = p.seal_params.plain_modulus
+        if uses_ps:
+            ph = ps_low + 1
+            const_idx = np.arange(0, (K // ph) + 1) * ph
 
         def build(roots_d, counts_d):
-            coeffs = polyn_with_roots(roots_d, counts_d, t)    # [B, C, K+1, N] mod t
+            coeffs = polyn_with_roots(roots_d, counts_d, t)    # [C, K+1, N] mod t
             polys = self.bfv.encode(coeffs)                    # batch-encode slots
-            cache = self.bfv.lift_plaintext_ntt(polys, lvl)    # [B, C, K+1, L, N]
+            cache = self.bfv.lift_plaintext_ntt(polys, lvl)    # [C, K+1, L, N]
+            if uses_ps:
+                return cache, coeffs[..., 0, :], polys[..., const_idx, :]
             # constant coefficients stay in slot domain: the evaluator folds
             # them into the per-query random mask before encoding
             return cache, coeffs[..., 0, :]
 
-        self.coeff_cache, self.const_slots = self.bfv._jitted(
-            ("db_build", lvl), build
-        )(jnp.asarray(roots), jnp.asarray(counts))
+        # chunked per-bundle build bounds device temporaries to one bundle's
+        # worth (the 16M cache is ~7 GB; building it in one shot would need
+        # 2-3x that transiently)
+        fn = self.bfv._jitted(("db_build", lvl, uses_ps, C), build)
+        outs = [fn(jnp.asarray(roots[b]), jnp.asarray(counts[b])) for b in range(B)]
+        self.coeff_cache = jnp.stack([o[0] for o in outs])
+        self.const_slots = jnp.stack([o[1] for o in outs])
+        self.ps_const_polys = (
+            jnp.stack([o[2] for o in outs]) if uses_ps else None
+        )
         self.eval_lvl = lvl
+        self.result_lvl = self.result_level() if uses_ps else lvl
         self.stats = DbStats(
             n_items=n,
             n_insertions=len(slots),
@@ -176,6 +194,32 @@ class ReceiverDB:
             + math.log2(self.params.table_params.max_items_per_bin + 1)
             + 8
         )
+        bits = 0
+        for lvl, q in enumerate(self.bfv.q_primes, start=1):
+            bits += q.bit_length()
+            if bits >= need:
+                return lvl
+        return len(self.bfv.q_primes)
+
+    def result_level(self) -> int:
+        """Result-transmission level for the PS path: inner-sum noise (degree
+        ℓ dot product) multiplied once by a high power, summed over nh chunks
+        and relinearized — needs roughly inner_need + log2(N·t) + margin bits."""
+        import math
+
+        p = self.params
+        sp = p.seal_params
+        t_bits = sp.plain_modulus.bit_length()
+        ell = p.query_params.ps_low_degree
+        inner_need = (
+            2 * t_bits
+            - 1
+            + 0.5 * (math.log2(p.poly_degree) - 3.58)
+            + math.log2(ell + 1)
+            + 8
+        )
+        nh = p.table_params.max_items_per_bin // (ell + 1)
+        need = inner_need + t_bits + math.log2(p.poly_degree) / 2 + math.log2(nh + 1) + 14
         bits = 0
         for lvl, q in enumerate(self.bfv.q_primes, start=1):
             bits += q.bit_length()

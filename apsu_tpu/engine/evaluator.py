@@ -37,11 +37,29 @@ def compute_power_tensor(
     full level), identically batched.  Each schedule level executes as one
     batched multiply + one batched relinearize over the level's targets.
     """
-    have: Dict[int, Ciphertext] = dict(source_cts)
+    have = _run_schedule(bfv, dict(source_cts), schedule, relin_key)
+
+    # mod-switch every power to the evaluation level and NTT-transform
+    stack = jnp.stack(
+        [have[p].data for p in range(1, schedule.max_power + 1)]
+    )  # [D, ..., 2, L, N]
+    k = bfv.q.k
+    switched = bfv.mod_switch_to(Ciphertext(stack, is_ntt=False, level=k), eval_level)
+    return bfv.to_ntt(switched).data
+
+
+def _run_schedule(
+    bfv: BfvContext,
+    have: Dict[int, Ciphertext],
+    schedule: PowerSchedule,
+    relin_key: Optional[RelinKey],
+) -> Dict[int, Ciphertext]:
+    """Level-synchronous wavefront: each dag level = one batched multiply +
+    one batched relinearize over all of the level's (target, a, b) products."""
+    k = bfv.q.k
     for level in schedule.levels:
         lhs = jnp.stack([have[a].data for (_, a, _) in level])
         rhs = jnp.stack([have[b].data for (_, _, b) in level])
-        k = bfv.q.k
         prod = bfv.multiply(
             Ciphertext(lhs, is_ntt=False, level=k),
             Ciphertext(rhs, is_ntt=False, level=k),
@@ -51,14 +69,31 @@ def compute_power_tensor(
         rel = bfv.relinearize(prod, relin_key)
         for i, (tgt, _, _) in enumerate(level):
             have[tgt] = Ciphertext(rel.data[i], is_ntt=False, level=k)
+    return have
 
-    # mod-switch every power to the evaluation level and NTT-transform
-    stack = jnp.stack(
-        [have[p].data for p in range(1, schedule.max_power + 1)]
-    )  # [D, ..., 2, L, N]
+
+def compute_ps_power_tensors(
+    bfv: BfvContext,
+    source_cts: Dict[int, Ciphertext],
+    plan: QueryPlan,
+    relin_key: Optional[RelinKey],
+):
+    """Power tensors for the Paterson–Stockmeyer path (both at FULL level).
+
+    Returns (low_ntt [ℓ, ..., 2, L, N], high_coeff [nh, ..., 2, L, N]):
+    x^1..x^ℓ NTT-transformed for the inner dot products, and y^1..y^nh
+    (y = x^(ℓ+1)) kept in coefficient domain for the outer BEHZ products.
+    """
+    ph = plan.ps_low_degree + 1
+    low_src = {s: ct for s, ct in source_cts.items() if s <= plan.ps_low_degree}
+    high_src = {s // ph: ct for s, ct in source_cts.items() if s > plan.ps_low_degree}
+    low = _run_schedule(bfv, low_src, plan.low, relin_key)
+    high = _run_schedule(bfv, high_src, plan.high, relin_key)
     k = bfv.q.k
-    switched = bfv.mod_switch_to(Ciphertext(stack, is_ntt=False, level=k), eval_level)
-    return bfv.to_ntt(switched).data
+    low_stack = jnp.stack([low[p].data for p in range(1, plan.low.max_power + 1)])
+    high_stack = jnp.stack([high[p].data for p in range(1, plan.high.max_power + 1)])
+    low_ntt = bfv.to_ntt(Ciphertext(low_stack, is_ntt=False, level=k)).data
+    return low_ntt, high_stack
 
 
 def eval_matching_polys(
@@ -103,3 +138,98 @@ def eval_matching_polys(
         powers_ntt, coeff_cache, const_slots, mask_slots
     )
     return Ciphertext(data, is_ntt=False, level=eval_level)
+
+
+def eval_matching_polys_ps(
+    bfv: BfvContext,
+    low_powers_ntt: jnp.ndarray,    # [B, ℓ, 2, L, N] NTT mont: x^1..x^ℓ, FULL level
+    high_powers_coeff: jnp.ndarray,  # [B, nh, 2, L, N] coeff plain: y^1..y^nh, y=x^(ℓ+1)
+    coeff_cache: jnp.ndarray,       # [B, C, K+1, L, N] NTT mont plaintexts, FULL level
+    const_polys: jnp.ndarray,       # [B, C, nh+1, N] mod-t polys: encoded c_{k·ph} columns
+    mask_slots: jnp.ndarray,        # [B, C, N] uint32 < t: random mask r
+    relin_key: RelinKey,
+    ps_low_degree: int,
+    result_level: int,
+) -> Ciphertext:
+    """Paterson–Stockmeyer evaluation (reference ``eval_patstock``,
+    bin_bundle.cpp:192-360): M(x) = Σ_k x^{k(ℓ+1)}·I_k(x) with inner sums as
+    ct⊙pt dot products in NTT domain and ONE batched BEHZ tensor product per
+    (bundle, cache, k) — all outer products accumulate 3-component and a
+    single relinearization closes the sum.
+    """
+    q = bfv.q
+    ph = ps_low_degree + 1
+    B, C = coeff_cache.shape[0], coeff_cache.shape[1]
+    K = coeff_cache.shape[2] - 1
+    nh = K // ph
+    N = coeff_cache.shape[-1]
+    ell = low_powers_ntt.shape[1]
+    assert ell == ps_low_degree
+
+    def inner_impl(low, cache, consts):
+        # chunked cache view: coefficient j = k·ph + i
+        pad = (nh + 1) * ph - (K + 1)
+        cpad = jnp.pad(cache, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        cR = cpad.reshape(B, C, nh + 1, ph, q.k, N)
+
+        def body(i, acc):
+            pw = jax.lax.dynamic_index_in_dim(low, i - 1, axis=1, keepdims=False)
+            pt = jax.lax.dynamic_index_in_dim(cR, i, axis=3, keepdims=False)
+            term = mont_mul(
+                pw[:, None, None, :, :, :], pt[:, :, :, None, :, :], q.p_d, q.pni_d
+            )  # [B, C, nh+1, 2, L, N]
+            return add_mod(acc, term, q.p_d)
+
+        acc = jax.lax.fori_loop(
+            1, ell + 1, body, jnp.zeros((B, C, nh + 1, 2, q.k, N), jnp.uint32)
+        )
+        acc = q.from_mont(q.ntt.intt(acc))          # coeff plain
+        dm = bfv._scale_impl(consts, q.k)           # [B, C, nh+1, L, N]
+        c0 = add_mod(acc[..., 0, :, :], dm, q.p_d)
+        return acc.at[..., 0, :, :].set(c0)         # [B, C, nh+1, 2, L, N]
+
+    inner = bfv._jitted(("ps_inner", ps_low_degree, B, C, nh), inner_impl)(
+        low_powers_ntt, coeff_cache, const_polys
+    )
+
+    # outer tensor products: (inner_k) × (y^k) for k=1..nh, batched over (B,C,k)
+    lhs = inner[:, :, 1:]                                     # [B, C, nh, 2, L, N]
+    rhs = jnp.broadcast_to(
+        high_powers_coeff[:, None, :, :, :, :], lhs.shape
+    )
+    prod3 = bfv.multiply(
+        Ciphertext(lhs, is_ntt=False, level=q.k),
+        Ciphertext(rhs, is_ntt=False, level=q.k),
+    )  # [B, C, nh, 3, L, N]
+
+    def reduce_impl(prod, inner0):
+        tot = prod
+        # sum over k axis
+        def body(k, acc):
+            return add_mod(
+                acc, jax.lax.dynamic_index_in_dim(tot, k, axis=2, keepdims=False), q.p_d
+            )
+        acc = jax.lax.fori_loop(
+            1, nh, body, tot[:, :, 0]
+        )  # [B, C, 3, L, N]
+        # add the k=0 inner sum into the first two components
+        return acc.at[:, :, :2].set(add_mod(acc[:, :, :2], inner0, q.p_d))
+
+    total3 = bfv._jitted(("ps_reduce", B, C, nh), reduce_impl)(
+        prod3.data, inner[:, :, 0]
+    )
+    rel = bfv.relinearize(Ciphertext(total3, is_ntt=False, level=q.k), relin_key)
+    res = bfv.mod_switch_to(rel, result_level)
+
+    # add the random mask at the result level
+    def mask_impl(data, mask):
+        poly = bfv.encode(mask)
+        dm = bfv._scale_impl(poly, result_level)
+        base = bfv.levels[result_level]
+        c0 = add_mod(data[..., 0, :, :], dm, base.p_d)
+        return data.at[..., 0, :, :].set(c0)
+
+    data = bfv._jitted(("ps_mask", result_level), mask_impl)(
+        res.data, mask_slots
+    )
+    return Ciphertext(data, is_ntt=False, level=result_level)

@@ -110,3 +110,20 @@ def test_psu_full_overlap():
     res = run_psu(params, query, db)
     check_oracle(db, query, res)
     assert len(res.transferred) == 0
+
+
+def test_psu_paterson_stockmeyer():
+    """PS path: ps_low_degree=4, max bin 24 -> inner deg-4 sums × y^k outer
+    products with one relinearization (16M-4096 structure, scaled down)."""
+    rng = np.random.default_rng(4)
+    params = small_params(
+        table_size=96,
+        hash_func_count=3,
+        max_items_per_bin=28,
+        ps_low_degree=4,
+        query_powers=(1, 2, 3, 4, 5, 10, 25),  # low {1..4}, high y^1, y^2, y^5
+        coeff_bits=(48, 48, 48, 48, 48, 30),
+    )
+    db, query = make_sets(rng, n_db=800, n_query=36, n_common=15)
+    res = run_psu(params, query, db)
+    check_oracle(db, query, res)
