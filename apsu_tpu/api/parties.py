@@ -63,12 +63,17 @@ class Sender:
     def __init__(
         self,
         params: PSUParams,
-        oprf: OprfBackend,
+        oprf: Optional[OprfBackend],
         seed: int = 1,
         loc_seed: bytes = b"apsu-loc",
+        oprf_factory=None,
     ):
+        """oprf_factory(cuckoo_table_items) -> OprfBackend: late-bound OPRF
+        construction for interactive backends (KKRT binds the query party's
+        cuckoo table at setup; reference sender_osn.cpp:428)."""
         self.params = params
         self.oprf = oprf
+        self.oprf_factory = oprf_factory
         self.bfv = BfvContext(params.seal_params)
         self.rng = np.random.default_rng(seed)
         self.sk = self.bfv.gen_secret_key(self.rng)
@@ -94,6 +99,8 @@ class Sender:
         self.cuckoo = cuckoo_insert(
             items, tp.table_size, tp.hash_func_count, locs=self.locs
         )
+        if self.oprf_factory is not None:
+            self.oprf = self.oprf_factory(self.cuckoo.table)
         slots = np.arange(tp.table_size, dtype=np.int64)
         prf = self.oprf.eval(self.cuckoo.table, slots)
         felts = felts_from_items(

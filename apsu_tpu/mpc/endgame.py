@@ -1,0 +1,60 @@
+"""The PSU endgame: permuted equality test + oblivious transfer of X∖Y.
+
+Mirrors the reference's step (5)+(6) (SURVEY §0): after decryption both
+parties hold a [C, S] matrix of per-(cache, slot) felt blocks; a permuted
+PEQT tells the DB party which (permuted) columns matched, the query party
+learns the permutation; a chosen-message OT then transfers exactly the
+non-matching items (reference: sender_osn.cpp:562-583 / receiver_osn.cpp:
+370-381, DDH variant sender_ddh.cpp:478-490).
+
+Role naming trap: the PEQT *sender* here is the PSU *query* party (it holds
+the decrypted matrix and the items), the PEQT *receiver* is the DB party.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from apsu_tpu.hash.encoding import items_from_felts
+from apsu_tpu.mpc.duplex import Duplex
+from apsu_tpu.mpc.otext import ot_recv_chosen, ot_send_chosen
+from apsu_tpu.mpc.peqt import ddh_peqt_receiver, ddh_peqt_sender
+
+SENTINEL = np.full(16, 0xFF, dtype=np.uint8)  # "no item here" OT message
+
+
+def felts_to_blocks(felt_matrix: np.ndarray, bits_per_felt: int) -> np.ndarray:
+    """[C, S, fpi] felts -> [C, S, 16] uint8 blocks (both parties identical)."""
+    C, S, fpi = felt_matrix.shape
+    items = items_from_felts(
+        felt_matrix.reshape(C * S, fpi).astype(np.uint32), bits_per_felt
+    )  # [C*S, 2] uint64
+    return items.view(np.uint8).reshape(C, S, 16)
+
+
+def endgame_query_side(
+    ch: Duplex,
+    decrypted_blocks: np.ndarray,   # [C, S, 16]
+    item_bytes_by_slot: np.ndarray,  # [S, 16] original items (junk at empties)
+    filled: np.ndarray,             # [S] bool
+    rng: np.random.Generator,
+) -> None:
+    """PEQT sender + OT sender: transfers non-matching, filled items."""
+    perm = ddh_peqt_sender(ch, decrypted_blocks, rng)
+    msgs = item_bytes_by_slot[perm].copy()
+    msgs[~filled[perm]] = SENTINEL
+    dummy = np.broadcast_to(SENTINEL, msgs.shape).copy()
+    # receiver chooses c=1 where matched -> gets dummy; c=0 -> gets the item
+    ot_send_chosen(ch, msgs, dummy, rng)
+
+
+def endgame_db_side(
+    ch: Duplex,
+    mask_blocks: np.ndarray,        # [C, S, 16]
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """PEQT receiver + OT receiver: returns transferred items [k, 2] uint64."""
+    matched = ddh_peqt_receiver(ch, mask_blocks, rng)
+    got = ot_recv_chosen(ch, matched.astype(np.uint8), rng)
+    keep = ~matched & ~np.all(got == SENTINEL, axis=1)
+    return got[keep].view(np.uint64).reshape(-1, 2)

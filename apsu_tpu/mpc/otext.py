@@ -1,0 +1,85 @@
+"""IKNP-style OT extension (random / chosen / one-sided flavors).
+
+Covers the roles of Kunlun's IKNP and ALSZ extension
+(/root/reference/Kunlun/mpc/ot/iknp_ote.hpp:98-445, alsz_ote.hpp — the
+reference uses them interchangeably through the kunlun_ot bridge,
+common/apsu/ot/kunlun_ot.cpp) in the semi-honest model: 128 Chou–Orlandi
+base OTs in the reverse direction, AES-CTR matrix expansion, packed-bit
+transposes, fixed-key-AES MMO instance hashing.  All matrix work is numpy
+over packed buffers — no per-OT Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from apsu_tpu.mpc.baseot import base_ot_recv, base_ot_send
+from apsu_tpu.mpc.duplex import Duplex
+from apsu_tpu.mpc.prg import mmo_hash_indexed, prg_bits
+
+KAPPA = 128
+
+
+def _cols_to_blocks(mat_bits: np.ndarray) -> np.ndarray:
+    """[κ, m] bit matrix -> per-column 16-byte blocks [m, κ/8]."""
+    return np.packbits(mat_bits.T, axis=-1, bitorder="little")
+
+
+def iknp_send(ch: Duplex, m: int, rng: np.random.Generator):
+    """Random-OT sender: returns pads (y0, y1), each [m, 16] uint8."""
+    s = rng.integers(0, 2, size=KAPPA).astype(np.uint8)
+    ks = base_ot_recv(ch, s, rng)                      # [κ, 16]
+    u = ch.recv()                                      # [κ, m] bits uint8
+    q = np.empty((KAPPA, m), dtype=np.uint8)
+    for i in range(KAPPA):
+        q[i] = prg_bits(ks[i].tobytes(), m)
+        if s[i]:
+            q[i] ^= u[i]
+    qb = _cols_to_blocks(q)                            # [m, 16]
+    sb = np.packbits(s, bitorder="little")             # [16]
+    y0 = mmo_hash_indexed(qb)
+    y1 = mmo_hash_indexed(qb ^ sb[None, :])
+    return y0, y1
+
+
+def iknp_recv(ch: Duplex, choices: np.ndarray, rng: np.random.Generator):
+    """Random-OT receiver: returns pads y_{c_j} [m, 16] uint8."""
+    r = np.asarray(choices, dtype=np.uint8)
+    m = len(r)
+    k0, k1 = base_ot_send(ch, KAPPA, rng)              # [κ, 16] each
+    t0 = np.empty((KAPPA, m), dtype=np.uint8)
+    u = np.empty((KAPPA, m), dtype=np.uint8)
+    for i in range(KAPPA):
+        t0[i] = prg_bits(k0[i].tobytes(), m)
+        u[i] = t0[i] ^ prg_bits(k1[i].tobytes(), m) ^ r
+    ch.send(u)
+    return mmo_hash_indexed(_cols_to_blocks(t0))
+
+
+def ot_send_chosen(ch: Duplex, m0: np.ndarray, m1: np.ndarray, rng) -> None:
+    """Chosen-message OT sender: m0/m1 [m, 16] uint8."""
+    y0, y1 = iknp_send(ch, m0.shape[0], rng)
+    ch.send(np.concatenate([m0 ^ y0, m1 ^ y1], axis=1))
+
+
+def ot_recv_chosen(ch: Duplex, choices: np.ndarray, rng) -> np.ndarray:
+    """Chosen-message OT receiver -> m_{c_j} [m, 16] uint8."""
+    y = iknp_recv(ch, choices, rng)
+    e = ch.recv()
+    c = np.asarray(choices, dtype=bool)
+    pick = np.where(c[:, None], e[:, 16:], e[:, :16])
+    return pick ^ y
+
+
+def ot_send_onesided(ch: Duplex, m1: np.ndarray, rng) -> None:
+    """One-sided OT (Kunlun OnesidedSend, iknp_ote.hpp:348): only the c=1
+    message exists; c=0 receivers learn nothing."""
+    _, y1 = iknp_send(ch, m1.shape[0], rng)
+    ch.send(m1 ^ y1)
+
+
+def ot_recv_onesided(ch: Duplex, choices: np.ndarray, rng) -> np.ndarray:
+    """Returns m1 for rows with c=1 (other rows hold garbage)."""
+    y = iknp_recv(ch, choices, rng)
+    e = ch.recv()
+    return e ^ y

@@ -127,3 +127,15 @@ def test_psu_paterson_stockmeyer():
     db, query = make_sets(rng, n_db=800, n_query=36, n_common=15)
     res = run_psu(params, query, db)
     check_oracle(db, query, res)
+
+
+def test_psu_real_mpc_stack():
+    """Full protocol with the REAL MPC primitives: interactive KKRT OPRF,
+    DDH permuted equality test, chosen-OT transfer of the difference set."""
+    from apsu_tpu.api.protocol import run_psu_mpc
+
+    rng = np.random.default_rng(5)
+    params = small_params()
+    db, query = make_sets(rng, n_db=250, n_query=35, n_common=12)
+    res = run_psu_mpc(params, query, db)
+    check_oracle(db, query, res)
