@@ -112,93 +112,32 @@ def run_psu_mpc(
     """Full PSU with the REAL MPC stack — interactive KKRT OPRF during DB
     build, DDH permuted equality test, chosen-message OT of the difference
     set — both parties as threads over one in-process duplex (the two-process
-    network deployment uses SocketDuplex with the identical flow)."""
+    network deployment runs the same api.session flow over a SocketDuplex)."""
     import threading
 
-    import jax
-
+    from apsu_tpu.api.session import run_db_party, run_query_party
     from apsu_tpu.mpc.duplex import pipe_pair
-    from apsu_tpu.mpc.endgame import (
-        endgame_db_side,
-        endgame_query_side,
-        felts_to_blocks,
-    )
-    from apsu_tpu.mpc.kkrt import KkrtReceiver, KkrtSender
 
     ch_q, ch_db = pipe_pair()
     timings: Dict[str, float] = {}
     out: Dict[str, np.ndarray] = {}
     errors = []
-    bpf = None  # set below
 
     def query_thread():
         try:
             rng = np.random.default_rng(seed + 1)
-            snd = Sender(
-                params,
-                oprf=None,
-                seed=seed + 11,
-                oprf_factory=lambda table: KkrtReceiver(ch_q, table, rng),
-            )
-            t0 = time.perf_counter()
-            req = snd.create_query(sender_items)
-            timings["create_query"] = time.perf_counter() - t0
-            ch_q.send(jax.device_get(req.powers_data))
-            ch_q.send(np.asarray(req.power_list, dtype=np.int64))
-            if req.relin_key is not None:
-                ch_q.send(jax.device_get(req.relin_key))
-            else:
-                ch_q.send(b"none")
-            results = ch_q.recv()
-            eval_level = int(ch_q.recv()[0])
-            t0 = time.perf_counter()
-            mat = snd.extract_matrix(QueryResponse(results, eval_level))
-            timings["decrypt"] = time.perf_counter() - t0
-            blocks = felts_to_blocks(
-                snd.peqt_matrix(mat), params.item_bit_count_per_felt
-            )
-            item_bytes = np.ascontiguousarray(snd.cuckoo.table).view(np.uint8).reshape(-1, 16)
-            t0 = time.perf_counter()
-            endgame_query_side(ch_q, blocks, item_bytes, snd.cuckoo.filled, rng)
-            timings["endgame_query"] = time.perf_counter() - t0
-            out["sent_bytes_q"] = ch_q.bytes_sent
+            run_query_party(ch_q, sender_items, rng, params=params, timings=timings)
         except Exception as e:  # pragma: no cover
             errors.append(e)
 
     def db_thread():
         try:
             rng = np.random.default_rng(seed + 2)
-            oprf = KkrtSender(ch_db, params.table_params.table_size, rng)
-            t0 = time.perf_counter()
-            db = ReceiverDB(params, oprf)
-            db.set_data(receiver_items)
-            timings["db_build"] = time.perf_counter() - t0
-            recv = Receiver(params, db, seed=seed + 12)
-            powers_data = ch_db.recv()
-            plist = tuple(int(x) for x in ch_db.recv())
-            rk = ch_db.recv()
-            rk = None if isinstance(rk, bytes) else rk
-            t0 = time.perf_counter()
-            resp = recv.run_query(
-                QueryRequest(power_list=plist, powers_data=jnp_asarray(powers_data), relin_key=rk)
+            out["transferred"] = run_db_party(
+                ch_db, params, receiver_items, rng, timings=timings
             )
-            timings["run_query"] = time.perf_counter() - t0
-            ch_db.send(jax.device_get(resp.results))
-            ch_db.send(np.array([resp.eval_level], dtype=np.int64))
-            blocks = felts_to_blocks(
-                recv.peqt_matrix(), params.item_bit_count_per_felt
-            )
-            t0 = time.perf_counter()
-            transferred = endgame_db_side(ch_db, blocks, rng)
-            timings["endgame_db"] = time.perf_counter() - t0
-            out["transferred"] = transferred
         except Exception as e:  # pragma: no cover
             errors.append(e)
-
-    def jnp_asarray(x):
-        import jax.numpy as jnp
-
-        return jnp.asarray(x)
 
     tq = threading.Thread(target=query_thread)
     tdb = threading.Thread(target=db_thread)
@@ -206,6 +145,7 @@ def run_psu_mpc(
     tq.join(); tdb.join()
     if errors:
         raise errors[0]
-    transferred = out["transferred"]
+    transferred = np.ascontiguousarray(out["transferred"]).view(np.uint64).reshape(-1, 2)
     union = np.unique(np.concatenate([receiver_items, transferred]), axis=0)
+    timings["bytes_on_wire"] = ch_q.bytes_sent + ch_db.bytes_sent
     return PsuResult(union=union, transferred=transferred, timings=timings)

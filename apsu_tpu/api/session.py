@@ -1,0 +1,123 @@
+"""Two-party PSU session: the shared wire flow for both deployment modes.
+
+One function per party, parameterized by a Duplex — run them on the two ends
+of an in-process pipe (run_psu_mpc) or a TCP socket (the CLIs).  The message
+sequence mirrors the reference's protocol phases (SURVEY §3): params
+handshake (rop_parms, receiver_dispatcher_osn.cpp:104-126) → interactive
+KKRT OPRF during DB build → encrypted query powers (rop_query) → result
+packages → DDH permuted equality test → chosen-OT transfer of X∖Y.
+
+Payloads: the OT carries each item's 16-byte payload (its original bytes) so
+the DB party reconstructs the union in the clear, like the reference's
+sendMessages of original items (sender_osn.cpp:379-399).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apsu_tpu.api.parties import QueryRequest, QueryResponse, Receiver, Sender
+from apsu_tpu.core.params import PSUParams
+from apsu_tpu.db.receiver_db import ReceiverDB
+from apsu_tpu.mpc.duplex import Duplex
+from apsu_tpu.mpc.endgame import endgame_db_side, endgame_query_side, felts_to_blocks
+from apsu_tpu.mpc.kkrt import KkrtReceiver, KkrtSender
+
+
+def run_query_party(
+    ch: Duplex,
+    items: np.ndarray,
+    rng: np.random.Generator,
+    params: Optional[PSUParams] = None,
+    payloads: Optional[np.ndarray] = None,
+    timings: Optional[Dict[str, float]] = None,
+) -> PSUParams:
+    """The small-set party: returns the params used (possibly received)."""
+    timings = timings if timings is not None else {}
+    # params handshake: DB side is authoritative (reference RunParams)
+    ch.send(b"params?")
+    params_json = ch.recv().decode()
+    remote = PSUParams.load_json(params_json)
+    if params is not None and params.to_dict() != remote.to_dict():
+        raise ValueError("parameter mismatch with DB party")
+    params = remote
+
+    snd = Sender(
+        params,
+        oprf=None,
+        seed=int(rng.integers(1 << 30)),
+        oprf_factory=lambda table: KkrtReceiver(ch, table, rng),
+    )
+    t0 = time.perf_counter()
+    req = snd.create_query(items)
+    timings["create_query"] = time.perf_counter() - t0
+
+    ch.send(jax.device_get(req.powers_data))
+    ch.send(np.asarray(req.power_list, dtype=np.int64))
+    ch.send(jax.device_get(req.relin_key) if req.relin_key is not None else b"none")
+
+    results = ch.recv()
+    eval_level = int(ch.recv()[0])
+    t0 = time.perf_counter()
+    mat = snd.extract_matrix(QueryResponse(results, eval_level))
+    timings["decrypt"] = time.perf_counter() - t0
+
+    blocks = felts_to_blocks(snd.peqt_matrix(mat), params.item_bit_count_per_felt)
+    if payloads is None:
+        payload_by_slot = (
+            np.ascontiguousarray(snd.cuckoo.table).view(np.uint8).reshape(-1, 16)
+        )
+    else:
+        payload_by_slot = np.zeros((params.table_params.table_size, 16), np.uint8)
+        idx = snd.cuckoo.item_index
+        payload_by_slot[snd.cuckoo.filled] = payloads[idx[snd.cuckoo.filled]]
+    t0 = time.perf_counter()
+    endgame_query_side(ch, blocks, payload_by_slot, snd.cuckoo.filled, rng)
+    timings["endgame"] = time.perf_counter() - t0
+    return params
+
+
+def run_db_party(
+    ch: Duplex,
+    params: PSUParams,
+    items: np.ndarray,
+    rng: np.random.Generator,
+    timings: Optional[Dict[str, float]] = None,
+    db: Optional[ReceiverDB] = None,
+) -> np.ndarray:
+    """The large-set party: serves one query, returns transferred payloads
+    [k, 16] uint8 (the difference set X∖Y)."""
+    timings = timings if timings is not None else {}
+    assert ch.recv() == b"params?"
+    ch.send(params.to_json().encode())
+
+    t0 = time.perf_counter()
+    oprf = KkrtSender(ch, params.table_params.table_size, rng)
+    if db is None:
+        db = ReceiverDB(params, oprf)
+        db.set_data(items)
+    timings["db_build"] = time.perf_counter() - t0
+    recv = Receiver(params, db, seed=int(rng.integers(1 << 30)))
+
+    powers_data = ch.recv()
+    plist = tuple(int(x) for x in ch.recv())
+    rk = ch.recv()
+    rk = None if isinstance(rk, bytes) else jnp.asarray(rk)
+    t0 = time.perf_counter()
+    resp = recv.run_query(
+        QueryRequest(power_list=plist, powers_data=jnp.asarray(powers_data), relin_key=rk)
+    )
+    timings["run_query"] = time.perf_counter() - t0
+    ch.send(jax.device_get(resp.results))
+    ch.send(np.array([resp.eval_level], dtype=np.int64))
+
+    blocks = felts_to_blocks(recv.peqt_matrix(), params.item_bit_count_per_felt)
+    t0 = time.perf_counter()
+    transferred = endgame_db_side(ch, blocks, rng)
+    timings["endgame"] = time.perf_counter() - t0
+    return transferred

@@ -1,0 +1,68 @@
+"""Receiver (DB-side) CLI — the reference's receiver_cli
+(/root/reference/cli/receiver/receiver.cpp): load params + CSV DB, listen,
+serve one PSU query, write union.csv.
+
+Usage:
+  python -m apsu_tpu.cli.receiver_cli --params parameters/100K-1.json \
+      --db-file db.csv --port 1212 --out union.csv [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="apsu_tpu receiver (DB party)")
+    ap.add_argument("--params", required=True, help="parameter JSON file")
+    ap.add_argument("--db-file", required=True, help="CSV of DB items")
+    ap.add_argument("--port", type=int, default=1212)
+    ap.add_argument("--bind", default="0.0.0.0")
+    ap.add_argument("--out", default="union.csv")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-level", default="info")
+    ap.add_argument("--log-file", default=None)
+    ap.add_argument("--silent", action="store_true")
+    ap.add_argument(
+        "--platform", default=None, help="jax platform override (e.g. cpu)"
+    )
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from apsu_tpu.api.session import run_db_party
+    from apsu_tpu.cli.csv_io import decode_payloads, load_csv, write_union_csv
+    from apsu_tpu.core.params import PSUParams
+    from apsu_tpu.mpc.duplex import SocketDuplex
+    from apsu_tpu.utils.log import configure
+    from apsu_tpu.utils.stopwatch import GLOBAL
+
+    log = configure(args.log_level, args.log_file, args.silent)
+    params = PSUParams.load_file(args.params)
+    items, _, strings = load_csv(args.db_file)
+    log.info("DB: %d items; params N=%d table=%d", len(strings),
+             params.poly_degree, params.table_params.table_size)
+
+    log.info("listening on %s:%d", args.bind, args.port)
+    ch = SocketDuplex.listen_accept(args.port, args.bind)
+    rng = np.random.default_rng(args.seed or None)
+    timings = {}
+    with GLOBAL.span("serve_query"):
+        transferred = run_db_party(ch, params, items, rng, timings=timings)
+    union = sorted(set(strings) | set(decode_payloads(transferred)))
+    write_union_csv(args.out, union)
+    log.info("union: %d items -> %s (received %d new)", len(union), args.out,
+             len(transferred))
+    log.info("timings: %s", {k: round(v, 3) for k, v in timings.items()})
+    log.info("bytes sent=%d received=%d", ch.bytes_sent, ch.bytes_received)
+    print(GLOBAL.report(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

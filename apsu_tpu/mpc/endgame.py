@@ -53,8 +53,9 @@ def endgame_db_side(
     mask_blocks: np.ndarray,        # [C, S, 16]
     rng: np.random.Generator,
 ) -> np.ndarray:
-    """PEQT receiver + OT receiver: returns transferred items [k, 2] uint64."""
+    """PEQT receiver + OT receiver: returns transferred payloads [k, 16]
+    uint8 (the 16-byte messages of the non-matching, filled columns)."""
     matched = ddh_peqt_receiver(ch, mask_blocks, rng)
     got = ot_recv_chosen(ch, matched.astype(np.uint8), rng)
     keep = ~matched & ~np.all(got == SENTINEL, axis=1)
-    return got[keep].view(np.uint64).reshape(-1, 2)
+    return np.ascontiguousarray(got[keep])
