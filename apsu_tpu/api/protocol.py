@@ -108,6 +108,7 @@ def run_psu_mpc(
     sender_items: np.ndarray,
     receiver_items: np.ndarray,
     seed: int = 7,
+    peqt: str = "ddh",
 ) -> PsuResult:
     """Full PSU with the REAL MPC stack — interactive KKRT OPRF during DB
     build, DDH permuted equality test, chosen-message OT of the difference
@@ -126,7 +127,9 @@ def run_psu_mpc(
     def query_thread():
         try:
             rng = np.random.default_rng(seed + 1)
-            run_query_party(ch_q, sender_items, rng, params=params, timings=timings)
+            run_query_party(
+                ch_q, sender_items, rng, params=params, timings=timings, peqt=peqt
+            )
         except Exception as e:  # pragma: no cover
             errors.append(e)
 

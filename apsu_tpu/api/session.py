@@ -36,6 +36,7 @@ def run_query_party(
     params: Optional[PSUParams] = None,
     payloads: Optional[np.ndarray] = None,
     timings: Optional[Dict[str, float]] = None,
+    peqt: str = "ddh",
 ) -> PSUParams:
     """The small-set party: returns the params used (possibly received)."""
     timings = timings if timings is not None else {}
@@ -76,8 +77,9 @@ def run_query_party(
         payload_by_slot = np.zeros((params.table_params.table_size, 16), np.uint8)
         idx = snd.cuckoo.item_index
         payload_by_slot[snd.cuckoo.filled] = payloads[idx[snd.cuckoo.filled]]
+    ch.send(peqt.encode())
     t0 = time.perf_counter()
-    endgame_query_side(ch, blocks, payload_by_slot, snd.cuckoo.filled, rng)
+    endgame_query_side(ch, blocks, payload_by_slot, snd.cuckoo.filled, rng, peqt=peqt)
     timings["endgame"] = time.perf_counter() - t0
     return params
 
@@ -117,7 +119,8 @@ def run_db_party(
     ch.send(np.array([resp.eval_level], dtype=np.int64))
 
     blocks = felts_to_blocks(recv.peqt_matrix(), params.item_bit_count_per_felt)
+    peqt = ch.recv().decode()
     t0 = time.perf_counter()
-    transferred = endgame_db_side(ch, blocks, rng)
+    transferred = endgame_db_side(ch, blocks, rng, peqt=peqt)
     timings["endgame"] = time.perf_counter() - t0
     return transferred

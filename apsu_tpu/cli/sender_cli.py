@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--log-file", default=None)
     ap.add_argument("--silent", action="store_true")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--peqt", default="osn", choices=["osn", "ddh"],
+                    help="permuted-equality-test variant (reference default: osn)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -51,7 +53,8 @@ def main(argv=None):
     timings = {}
     with GLOBAL.span("query"):
         run_query_party(
-            ch, items, rng, params=params, payloads=payloads, timings=timings
+            ch, items, rng, params=params, payloads=payloads, timings=timings,
+            peqt=args.peqt,
         )
     log.info("query complete; timings: %s", {k: round(v, 3) for k, v in timings.items()})
     log.info("bytes sent=%d received=%d", ch.bytes_sent, ch.bytes_received)

@@ -17,6 +17,7 @@ import numpy as np
 
 from apsu_tpu.hash.encoding import items_from_felts
 from apsu_tpu.mpc.duplex import Duplex
+from apsu_tpu.mpc.osn_peqt import osn_peqt_db_side, osn_peqt_query_side
 from apsu_tpu.mpc.otext import ot_recv_chosen, ot_send_chosen
 from apsu_tpu.mpc.peqt import ddh_peqt_receiver, ddh_peqt_sender
 
@@ -38,9 +39,15 @@ def endgame_query_side(
     item_bytes_by_slot: np.ndarray,  # [S, 16] original items (junk at empties)
     filled: np.ndarray,             # [S] bool
     rng: np.random.Generator,
+    peqt: str = "ddh",
 ) -> None:
-    """PEQT sender + OT sender: transfers non-matching, filled items."""
-    perm = ddh_peqt_sender(ch, decrypted_blocks, rng)
+    """PEQT sender + OT sender: transfers non-matching, filled items.
+    peqt: "ddh" (EC-based) or "osn" (Benes switching network, the
+    reference's default variant)."""
+    if peqt == "osn":
+        perm = osn_peqt_query_side(ch, decrypted_blocks, rng)
+    else:
+        perm = ddh_peqt_sender(ch, decrypted_blocks, rng)
     msgs = item_bytes_by_slot[perm].copy()
     msgs[~filled[perm]] = SENTINEL
     dummy = np.broadcast_to(SENTINEL, msgs.shape).copy()
@@ -52,10 +59,14 @@ def endgame_db_side(
     ch: Duplex,
     mask_blocks: np.ndarray,        # [C, S, 16]
     rng: np.random.Generator,
+    peqt: str = "ddh",
 ) -> np.ndarray:
     """PEQT receiver + OT receiver: returns transferred payloads [k, 16]
     uint8 (the 16-byte messages of the non-matching, filled columns)."""
-    matched = ddh_peqt_receiver(ch, mask_blocks, rng)
+    if peqt == "osn":
+        matched = osn_peqt_db_side(ch, mask_blocks, rng)
+    else:
+        matched = ddh_peqt_receiver(ch, mask_blocks, rng)
     got = ot_recv_chosen(ch, matched.astype(np.uint8), rng)
     keep = ~matched & ~np.all(got == SENTINEL, axis=1)
     return np.ascontiguousarray(got[keep])

@@ -144,3 +144,36 @@ def test_ddh_peqt():
     for j in range(S):
         want[j] = perm[j] in match_cols
     np.testing.assert_array_equal(matched, want)
+
+
+def test_osn_share_translation():
+    from apsu_tpu.mpc.osn import osn_holder, osn_programmer
+
+    rng = np.random.default_rng(0)
+    n = 37  # non-power-of-two: exercises padding
+    values = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    perm = rng.permutation(n).astype(np.int64)
+    share_p, share_h = run_pair(
+        lambda ch: osn_programmer(ch, perm, np.random.default_rng(1)),
+        lambda ch: osn_holder(ch, values, np.random.default_rng(2)),
+    )
+    np.testing.assert_array_equal(share_p ^ share_h, values[perm])
+
+
+def test_osn_peqt():
+    from apsu_tpu.mpc.osn_peqt import osn_peqt_db_side, osn_peqt_query_side
+
+    C, S = 3, 40
+    rng = np.random.default_rng(0)
+    qm = rng.integers(0, 256, size=(C, S, 16), dtype=np.uint8)
+    dm = rng.integers(0, 256, size=(C, S, 16), dtype=np.uint8)
+    match_cols = [0, 5, 17, 39]
+    for j in match_cols:
+        c = rng.integers(0, C)
+        dm[c, j] = qm[c, j]
+    perm, matched = run_pair(
+        lambda ch: osn_peqt_query_side(ch, qm, np.random.default_rng(1)),
+        lambda ch: osn_peqt_db_side(ch, dm, np.random.default_rng(2)),
+    )
+    want = np.array([perm[j] in match_cols for j in range(S)])
+    np.testing.assert_array_equal(matched, want)

@@ -139,3 +139,15 @@ def test_psu_real_mpc_stack():
     db, query = make_sets(rng, n_db=250, n_query=35, n_common=12)
     res = run_psu_mpc(params, query, db)
     check_oracle(db, query, res)
+
+
+def test_psu_real_mpc_osn_variant():
+    """Full protocol with the OSN/Benes PEQT variant (the reference's
+    default endgame: sender_cli_osn)."""
+    from apsu_tpu.api.protocol import run_psu_mpc
+
+    rng = np.random.default_rng(6)
+    params = small_params()
+    db, query = make_sets(rng, n_db=220, n_query=30, n_common=9)
+    res = run_psu_mpc(params, query, db, peqt="osn")
+    check_oracle(db, query, res)
