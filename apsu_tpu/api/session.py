@@ -25,7 +25,13 @@ from apsu_tpu.api.parties import QueryRequest, QueryResponse, Receiver, Sender
 from apsu_tpu.core.params import PSUParams
 from apsu_tpu.db.receiver_db import ReceiverDB
 from apsu_tpu.mpc.duplex import Duplex
-from apsu_tpu.mpc.endgame import endgame_db_side, endgame_query_side, felts_to_blocks
+from apsu_tpu.mpc.endgame import (
+    cardsum_db_side,
+    cardsum_query_side,
+    endgame_db_side,
+    endgame_query_side,
+    felts_to_blocks,
+)
 from apsu_tpu.mpc.kkrt import KkrtReceiver, KkrtSender
 
 
@@ -37,8 +43,13 @@ def run_query_party(
     payloads: Optional[np.ndarray] = None,
     timings: Optional[Dict[str, float]] = None,
     peqt: str = "ddh",
+    mode: str = "union",
+    values: Optional[np.ndarray] = None,
 ) -> PSUParams:
-    """The small-set party: returns the params used (possibly received)."""
+    """The small-set party.  mode: "union" (transfer X∖Y), "card"
+    (cardinality only) or "cardsum" (cardinality + sum of per-item values,
+    the reference's CARD/CARDSUM compile-time flags at common/apsu/log.h:
+    11-14 folded into runtime config).  Returns the params used."""
     timings = timings if timings is not None else {}
     # params handshake: DB side is authoritative (reference RunParams)
     ch.send(b"params?")
@@ -77,9 +88,22 @@ def run_query_party(
         payload_by_slot = np.zeros((params.table_params.table_size, 16), np.uint8)
         idx = snd.cuckoo.item_index
         payload_by_slot[snd.cuckoo.filled] = payloads[idx[snd.cuckoo.filled]]
-    ch.send(peqt.encode())
+    ch.send(f"{peqt}:{mode}".encode())
     t0 = time.perf_counter()
-    endgame_query_side(ch, blocks, payload_by_slot, snd.cuckoo.filled, rng, peqt=peqt)
+    if mode == "union":
+        endgame_query_side(
+            ch, blocks, payload_by_slot, snd.cuckoo.filled, rng, peqt=peqt
+        )
+    else:
+        vals = np.zeros(params.table_params.table_size, dtype=np.uint64)
+        if mode == "cardsum":
+            if values is None:
+                raise ValueError("cardsum mode needs per-item values")
+            idx = snd.cuckoo.item_index
+            vals[snd.cuckoo.filled] = values[idx[snd.cuckoo.filled]]
+        cardsum_query_side(
+            ch, blocks, vals, snd.cuckoo.filled, rng, peqt=peqt
+        )
     timings["endgame"] = time.perf_counter() - t0
     return params
 
@@ -119,8 +143,11 @@ def run_db_party(
     ch.send(np.array([resp.eval_level], dtype=np.int64))
 
     blocks = felts_to_blocks(recv.peqt_matrix(), params.item_bit_count_per_felt)
-    peqt = ch.recv().decode()
+    peqt, mode = ch.recv().decode().split(":")
     t0 = time.perf_counter()
-    transferred = endgame_db_side(ch, blocks, rng, peqt=peqt)
+    if mode == "union":
+        result = endgame_db_side(ch, blocks, rng, peqt=peqt)
+    else:
+        result = cardsum_db_side(ch, blocks, rng, peqt=peqt)  # (card, sum)
     timings["endgame"] = time.perf_counter() - t0
-    return transferred
+    return result

@@ -230,3 +230,75 @@ class ReceiverDB:
     def strip(self) -> None:
         """Drop raw data, keep only the evaluation cache (receiver_db.cpp:828)."""
         self._raw_coeff_slots = None
+
+    # ------------------------------------------------------------------
+    # checkpoint (the reference's FlatBuffers ReceiverDB save/load,
+    # receiver_db.cpp:1182-1429: params + OPRF key + eval caches; our OPRF
+    # key is the KKRT sender state when the interactive backend is in use)
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.json"), "w") as f:
+            f.write(self.params.to_json())
+        np.save(os.path.join(path, "coeff_cache.npy"), jax.device_get(self.coeff_cache))
+        np.save(os.path.join(path, "const_slots.npy"), jax.device_get(self.const_slots))
+        if self.ps_const_polys is not None:
+            np.save(
+                os.path.join(path, "ps_const_polys.npy"),
+                jax.device_get(self.ps_const_polys),
+            )
+        meta = {
+            "eval_lvl": int(self.eval_lvl),
+            "result_lvl": int(self.result_lvl),
+            "n_items": self.stats.n_items,
+            "n_insertions": self.stats.n_insertions,
+            "n_caches": self.stats.n_caches,
+            "cache_counts": self.stats.cache_counts.tolist(),
+            "max_bin_load": self.stats.max_bin_load,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        oprf = self.oprf
+        if hasattr(oprf, "q_cols") and hasattr(oprf, "s_pack"):
+            np.save(os.path.join(path, "oprf_q_cols.npy"), oprf.q_cols)
+            np.save(os.path.join(path, "oprf_s_pack.npy"), oprf.s_pack)
+
+    @staticmethod
+    def load(path: str, oprf: Optional[OprfBackend] = None) -> "ReceiverDB":
+        import json
+        import os
+
+        params = PSUParams.load_file(os.path.join(path, "params.json"))
+        if oprf is None:
+            qc = os.path.join(path, "oprf_q_cols.npy")
+            if os.path.exists(qc):
+                from apsu_tpu.mpc.kkrt import KkrtSender
+
+                oprf = KkrtSender.__new__(KkrtSender)
+                oprf.q_cols = np.load(qc)
+                oprf.s_pack = np.load(os.path.join(path, "oprf_s_pack.npy"))
+                oprf.n_slots = params.table_params.table_size
+            else:
+                raise ValueError("checkpoint has no OPRF state; pass one")
+        db = ReceiverDB(params, oprf)
+        db.coeff_cache = jnp.asarray(np.load(os.path.join(path, "coeff_cache.npy")))
+        db.const_slots = jnp.asarray(np.load(os.path.join(path, "const_slots.npy")))
+        pcp = os.path.join(path, "ps_const_polys.npy")
+        db.ps_const_polys = jnp.asarray(np.load(pcp)) if os.path.exists(pcp) else None
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        db.eval_lvl = meta["eval_lvl"]
+        db.result_lvl = meta["result_lvl"]
+        db.stats = DbStats(
+            n_items=meta["n_items"],
+            n_insertions=meta["n_insertions"],
+            n_caches=meta["n_caches"],
+            cache_counts=np.asarray(meta["cache_counts"]),
+            max_bin_load=meta["max_bin_load"],
+        )
+        return db

@@ -70,3 +70,60 @@ def endgame_db_side(
     got = ot_recv_chosen(ch, matched.astype(np.uint8), rng)
     keep = ~matched & ~np.all(got == SENTINEL, axis=1)
     return np.ascontiguousarray(got[keep])
+
+
+def cardsum_query_side(
+    ch: Duplex,
+    decrypted_blocks: np.ndarray,   # [C, S, 16]
+    values_by_slot: np.ndarray,     # [S] uint64 associated values (0 at empties)
+    filled: np.ndarray,             # [S] bool
+    rng: np.random.Generator,
+    peqt: str = "ddh",
+) -> None:
+    """CARD/CARDSUM endgame, query side (reference Cardsum_Send,
+    sender_osn.cpp:795-851): transfers additively-masked values so the DB
+    party learns only |X∖Y| and Σ values over X∖Y."""
+    if peqt == "osn":
+        perm = osn_peqt_query_side(ch, decrypted_blocks, rng)
+    else:
+        perm = ddh_peqt_sender(ch, decrypted_blocks, rng)
+    S = len(perm)
+    r = rng.integers(0, 1 << 63, size=S, dtype=np.uint64)
+    vals = values_by_slot[perm].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        m0 = _u64_to_blocks(vals + r)          # not matched -> value + mask
+    m1 = _u64_to_blocks(r)                      # matched -> mask only
+    ot_send_chosen(ch, m0, m1, rng)
+    with np.errstate(over="ignore"):
+        total_mask = np.sum(r, dtype=np.uint64)
+    ch.send(np.array([total_mask, np.uint64(int(np.sum(filled)))], dtype=np.uint64))
+
+
+def cardsum_db_side(
+    ch: Duplex,
+    mask_blocks: np.ndarray,        # [C, S, 16]
+    rng: np.random.Generator,
+    peqt: str = "ddh",
+):
+    """Returns (cardinality_of_difference, value_sum_of_difference)."""
+    if peqt == "osn":
+        matched = osn_peqt_db_side(ch, mask_blocks, rng)
+    else:
+        matched = ddh_peqt_receiver(ch, mask_blocks, rng)
+    got = ot_recv_chosen(ch, matched.astype(np.uint8), rng)
+    rec = ch.recv()
+    total_mask, n_filled = np.uint64(rec[0]), int(rec[1])
+    with np.errstate(over="ignore"):
+        s = np.sum(_blocks_to_u64(got), dtype=np.uint64) - total_mask
+    card = n_filled - int(np.sum(matched))
+    return card, int(s)
+
+
+def _u64_to_blocks(v: np.ndarray) -> np.ndarray:
+    out = np.zeros((len(v), 16), dtype=np.uint8)
+    out[:, :8] = v.astype(np.uint64).view(np.uint8).reshape(-1, 8)
+    return out
+
+
+def _blocks_to_u64(b: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(b[:, :8]).view(np.uint64).reshape(-1)

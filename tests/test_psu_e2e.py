@@ -151,3 +151,72 @@ def test_psu_real_mpc_osn_variant():
     db, query = make_sets(rng, n_db=220, n_query=30, n_common=9)
     res = run_psu_mpc(params, query, db, peqt="osn")
     check_oracle(db, query, res)
+
+
+def test_psu_cardsum_mode():
+    """CARD/CARDSUM: DB party learns |X∖Y| and Σ values, not the items."""
+    import threading
+
+    from apsu_tpu.api.session import run_db_party, run_query_party
+    from apsu_tpu.mpc.duplex import pipe_pair
+
+    rng = np.random.default_rng(8)
+    params = small_params()
+    db, query = make_sets(rng, n_db=200, n_query=30, n_common=10)
+    values = np.arange(1, 31, dtype=np.uint64) * 100
+    qs, dbs = as_set(query), as_set(db)
+    expect_card = len(qs - dbs)
+    expect_sum = sum(
+        int(v) for v, it in zip(values, map(tuple, query.tolist())) if it not in dbs
+    )
+
+    ch_q, ch_db = pipe_pair()
+    out = {}
+    errs = []
+
+    def q():
+        try:
+            run_query_party(
+                ch_q, query, np.random.default_rng(1), params=params,
+                mode="cardsum", values=values,
+            )
+        except Exception as e:
+            errs.append(e)
+
+    def d():
+        try:
+            out["res"] = run_db_party(ch_db, params, db, np.random.default_rng(2))
+        except Exception as e:
+            errs.append(e)
+
+    t1, t2 = threading.Thread(target=q), threading.Thread(target=d)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    if errs:
+        raise errs[0]
+    card, vsum = out["res"]
+    assert card == expect_card, (card, expect_card)
+    assert vsum == expect_sum, (vsum, expect_sum)
+
+
+def test_db_checkpoint_roundtrip(tmp_path):
+    """Serialized ReceiverDB checkpoint: save after build, load, serve a
+    query from the loaded DB (reference receiver_db.cpp:1182-1429 flow)."""
+    from apsu_tpu.api.parties import Receiver
+    from apsu_tpu.db.receiver_db import ReceiverDB
+    from apsu_tpu.mpc.oprf import DebugOprf
+
+    rng = np.random.default_rng(9)
+    params = small_params()
+    db_items, query = make_sets(rng, n_db=260, n_query=28, n_common=13)
+    oprf = DebugOprf(0x5EED)
+    db = ReceiverDB(params, oprf)
+    db.set_data(db_items)
+    db.strip()
+    db.save(str(tmp_path / "ckpt"))
+
+    loaded = ReceiverDB.load(str(tmp_path / "ckpt"), oprf=oprf)
+    assert loaded.stats.n_items == db.stats.n_items
+    res = run_psu(
+        params, query, db_items, receiver=Receiver(params, loaded)
+    )
+    check_oracle(db_items, query, res)
