@@ -191,6 +191,7 @@ class Receiver:
                 rk,
                 p.query_params.ps_low_degree,
                 self.db.result_lvl,
+                p.table_params.max_items_per_bin,
             )
             return QueryResponse(results=res.data, eval_level=self.db.result_lvl)
 

@@ -142,8 +142,20 @@ class ReceiverDB:
             ph = ps_low + 1
             const_idx = np.arange(0, (K // ph) + 1) * ph
 
+        from apsu_tpu.ops.polyeval import DEG_CHUNK
+
+        pad_planes = (-(K + 1)) % DEG_CHUNK  # zero planes: align for Pallas
+
         def build(roots_d, counts_d):
             coeffs = polyn_with_roots(roots_d, counts_d, t)    # [C, K+1, N] mod t
+            if pad_planes:
+                coeffs = jnp.concatenate(
+                    [
+                        coeffs,
+                        jnp.zeros(coeffs.shape[:-2] + (pad_planes, N), jnp.uint32),
+                    ],
+                    axis=-2,
+                )
             polys = self.bfv.encode(coeffs)                    # batch-encode slots
             cache = self.bfv.lift_plaintext_ntt(polys, lvl)    # [C, K+1, L, N]
             if uses_ps:

@@ -22,6 +22,15 @@ import numpy as np
 from apsu_tpu.core.bfv import BfvContext, Ciphertext, RelinKey
 from apsu_tpu.core.mod32 import add_mod, mont_mul
 from apsu_tpu.engine.powers import PowerSchedule, QueryPlan
+from apsu_tpu.ops.polyeval import DEG_CHUNK, eval_dot_pallas
+
+
+def _use_pallas(bfv: BfvContext, level: int) -> bool:
+    """Pallas path: TPU backend + all eval-level primes < 2^28 (the narrow
+    lazy-reduction kernel's precondition)."""
+    if jax.default_backend() == "cpu":
+        return False
+    return all(p < (1 << 28) for p in bfv.levels[level].primes)
 
 
 def compute_power_tensor(
@@ -115,19 +124,51 @@ def eval_matching_polys(
         cms = add_mod(const_s, mask_s, t)  # fold mask on device
         D = powers.shape[1]
         B, C = cache.shape[0], cache.shape[1]
-        acc = jnp.zeros(
-            (B, C, 2, base.k, powers.shape[-1]), dtype=jnp.uint32
-        )
+        N = powers.shape[-1]
+        Dp = cache.shape[2]
 
-        def body(j, acc):
-            pw = jax.lax.dynamic_index_in_dim(powers, j, axis=1, keepdims=False)
-            pt = jax.lax.dynamic_index_in_dim(cache, j + 1, axis=2, keepdims=False)
-            term = mont_mul(
-                pw[:, None, :, :, :], pt[:, :, None, :, :], base.p_d, base.pni_d
-            )  # [B, C, 2, Le, N]
-            return add_mod(acc, term, base.p_d)
+        if _use_pallas(bfv, eval_level):
+            # align powers with the cache's coefficient planes: plane 0 (the
+            # constant) and the chunk-padding tail contribute zero terms
+            pw = jnp.concatenate(
+                [
+                    jnp.zeros((B, 1, 2, base.k, N), jnp.uint32),
+                    powers,
+                    jnp.zeros((B, Dp - D - 1, 2, base.k, N), jnp.uint32),
+                ],
+                axis=1,
+            )
+            c = bfv.levels[eval_level]
+            consts = np.stack([np.asarray(c.p_d).ravel(), np.asarray(c.pni_d).ravel()])
+            acc = eval_dot_pallas(pw, cache, consts[0], consts[1])
+        else:
+            acc = jnp.zeros((B, C, 2, base.k, N), dtype=jnp.uint32)
+            CH = min(16, D)
+            nch = D // CH
 
-        acc = jax.lax.fori_loop(0, D, body, acc)
+            def body(ci, acc):
+                j0 = ci * CH
+                pw = jax.lax.dynamic_slice_in_dim(powers, j0, CH, axis=1)
+                pt = jax.lax.dynamic_slice_in_dim(cache, j0 + 1, CH, axis=2)
+                part = None
+                for u in range(CH):
+                    term = mont_mul(
+                        pw[:, u, None], pt[:, :, u, None], base.p_d, base.pni_d
+                    )  # [B, C, 2, Le, N]
+                    part = term if part is None else add_mod(part, term, base.p_d)
+                return add_mod(acc, part, base.p_d)
+
+            acc = jax.lax.fori_loop(0, nch, body, acc)
+
+            def tail(j, acc):
+                pw = jax.lax.dynamic_index_in_dim(powers, j, axis=1, keepdims=False)
+                pt = jax.lax.dynamic_index_in_dim(cache, j + 1, axis=2, keepdims=False)
+                term = mont_mul(
+                    pw[:, None, :, :, :], pt[:, :, None, :, :], base.p_d, base.pni_d
+                )
+                return add_mod(acc, term, base.p_d)
+
+            acc = jax.lax.fori_loop(nch * CH, D, tail, acc)
         acc = base.from_mont(base.ntt.intt(acc))  # coeff domain plain
         pt0 = bfv.encode(cms)                     # [B, C, N] poly mod t
         dm = bfv._scale_impl(pt0, eval_level)     # round(Q_l·m/t), plain
@@ -150,6 +191,7 @@ def eval_matching_polys_ps(
     relin_key: RelinKey,
     ps_low_degree: int,
     result_level: int,
+    max_degree: int,
 ) -> Ciphertext:
     """Paterson–Stockmeyer evaluation (reference ``eval_patstock``,
     bin_bundle.cpp:192-360): M(x) = Σ_k x^{k(ℓ+1)}·I_k(x) with inner sums as
@@ -160,21 +202,20 @@ def eval_matching_polys_ps(
     q = bfv.q
     ph = ps_low_degree + 1
     B, C = coeff_cache.shape[0], coeff_cache.shape[1]
-    K = coeff_cache.shape[2] - 1
+    K = max_degree  # cache planes beyond K+1 are zero padding for Pallas
     nh = K // ph
     N = coeff_cache.shape[-1]
     ell = low_powers_ntt.shape[1]
     assert ell == ps_low_degree
 
     def inner_impl(low, cache, consts):
-        # chunked cache view: coefficient j = k·ph + i
-        pad = (nh + 1) * ph - (K + 1)
-        cpad = jnp.pad(cache, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        cR = cpad.reshape(B, C, nh + 1, ph, q.k, N)
+        # coefficient plane of chunk k, degree i is k·ph + i (gathered per i;
+        # the cache may carry extra zero padding planes beyond K+1)
+        base_idx = jnp.arange(nh + 1, dtype=jnp.int32) * ph
 
         def body(i, acc):
             pw = jax.lax.dynamic_index_in_dim(low, i - 1, axis=1, keepdims=False)
-            pt = jax.lax.dynamic_index_in_dim(cR, i, axis=3, keepdims=False)
+            pt = jnp.take(cache, base_idx + i, axis=2)  # [B, C, nh+1, L, N]
             term = mont_mul(
                 pw[:, None, None, :, :, :], pt[:, :, :, None, :, :], q.p_d, q.pni_d
             )  # [B, C, nh+1, 2, L, N]

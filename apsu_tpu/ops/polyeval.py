@@ -1,0 +1,130 @@
+"""Pallas TPU kernel for the batched matching-polynomial dot product.
+
+The hot op of the PSU online phase: out[b,c] = Σ_j powers[b,j] ⊙ cache[b,c,j]
+(Montgomery multiply-accumulate per limb/lane).  The XLA fori_loop version
+re-materializes every degree slice through HBM; this kernel streams each
+cache element through VMEM exactly once with the standard reduction-grid
+pattern (out block constant along the innermost grid axis, initialized at
+j==0), double-buffered by the Pallas pipeline.
+
+Layout: powers [B, Dp, 2, L, N], cache [B, C, Dp, L, N], Dp a multiple of
+the degree chunk; out [B, C, 2, L, N].  Plane 0 of both is the zero-padding
+convention for the constant coefficient (contributes nothing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from apsu_tpu.core.mod32 import add_mod, mont_mul
+
+DEG_CHUNK = 8
+
+
+def _mul_wide_narrow(a, b):
+    """(hi, lo) of a·b for a, b < 2^28: high halves are < 2^12 so the two
+    cross terms sum without overflow — 4 multiplies, ~6 cheap ops."""
+    m16 = jnp.uint32(0xFFFF)
+    a0 = a & m16
+    a1 = a >> 16
+    b0 = b & m16
+    b1 = b >> 16
+    t = a0 * b0
+    mid = a1 * b0 + a0 * b1          # < 2^29: no overflow
+    lo = t + (mid << 16)
+    carry = (lo < t).astype(jnp.uint32)
+    hi = a1 * b1 + (mid >> 16) + carry
+    return hi, lo
+
+
+def _kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, *, chunk):
+    """Lazy-reduction dot product: the chunk's products accumulate as raw
+    64-bit (hi, lo) pairs — Σ_{u<8} p² < 2^59 fits — and a single Montgomery
+    REDC folds the chunk into the running mod-p accumulator.  ~4.6 int32
+    multiplies per term instead of 9."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    p = p_ref[...]      # [L, 1]
+    pni = pni_ref[...]  # [L, 1]
+    acc = out_ref[...]  # [1, 1, 2, L, N]
+    pw = pw_ref[...]    # [1, chunk, 2, L, N]
+    pt = pt_ref[...]    # [1, 1, chunk, L, N]
+
+    s_hi = jnp.zeros(acc.shape[2:], jnp.uint32)  # [2, L, N]
+    s_lo = jnp.zeros(acc.shape[2:], jnp.uint32)
+    for u in range(chunk):
+        hi, lo = _mul_wide_narrow(pw[0, u], pt[0, 0, u][None, :, :])
+        new_lo = s_lo + lo
+        s_hi = s_hi + hi + (new_lo < lo).astype(jnp.uint32)
+        s_lo = new_lo
+    # REDC of the 64-bit chunk sum: t = (S + m·p)/2^32, m = S_lo·(-p^-1)
+    m = s_lo * pni
+    mhi, _ = _mul_wide_hi_generic(m, p)
+    t = s_hi + mhi + (s_lo != 0).astype(jnp.uint32)
+    t = _sub_if_ge(t, p)
+    t = _sub_if_ge(t, p)  # s_hi < 2^27 + mhi < p: t < p + 2^27 + p ⇒ ≤ 2 subs
+    out_ref[...] = add_mod(acc, t[None, None], p)
+
+
+def _mul_wide_hi_generic(a, b):
+    """hi 32 bits of a·b for arbitrary uint32 a and b < 2^31."""
+    m16 = jnp.uint32(0xFFFF)
+    a0 = a & m16
+    a1 = a >> 16
+    b0 = b & m16
+    b1 = b >> 16
+    t = a0 * b0
+    w1 = a1 * b0 + (t >> 16)         # ≤ (2^16-1)^2 + 2^16 - 1: no overflow
+    w2 = a0 * b1 + (w1 & m16)
+    return a1 * b1 + (w1 >> 16) + (w2 >> 16), t  # hi, (unused partial)
+
+
+def _sub_if_ge(x, p):
+    return jnp.where(x >= p, x - p, x)
+
+
+def eval_dot_pallas(powers, cache, p_np: np.ndarray, pni_np: np.ndarray):
+    """powers [B, Dp, 2, L, N] NTT mont; cache [B, C, Dp, L, N] NTT mont;
+    returns [B, C, 2, L, N].  Dp must be a multiple of DEG_CHUNK."""
+    B, Dp, _, L, N = powers.shape
+    C = cache.shape[1]
+    assert Dp % DEG_CHUNK == 0, "degree axis must be chunk-padded"
+    nj = Dp // DEG_CHUNK
+    p = jnp.asarray(p_np.reshape(L, 1))
+    pni = jnp.asarray(pni_np.reshape(L, 1))
+
+    kernel = functools.partial(_kernel, chunk=DEG_CHUNK)
+    grid = (B, C, nj)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda b, c, j: (0, 0)),
+            pl.BlockSpec((L, 1), lambda b, c, j: (0, 0)),
+            pl.BlockSpec(
+                (1, DEG_CHUNK, 2, L, N),
+                lambda b, c, j: (b, j, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, DEG_CHUNK, L, N),
+                lambda b, c, j: (b, c, j, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 2, L, N), lambda b, c, j: (b, c, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, 2, L, N), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(p, pni, powers, cache)

@@ -65,8 +65,11 @@ def main():
     mk = lambda k, shape: jax.random.randint(
         k, shape, 0, 1 << 20, dtype=jnp.int32
     ).astype(jnp.uint32)
+    from apsu_tpu.ops.polyeval import DEG_CHUNK
+
+    planes = (K + 1 + DEG_CHUNK - 1) // DEG_CHUNK * DEG_CHUNK
     powers = mk(k1, (B, K, 2, L, N))
-    cache = mk(k2, (B, C, K + 1, L, N))
+    cache = mk(k2, (B, C, planes, L, N))
     const_s = mk(k3, (B, C, N)) % jnp.uint32(bfv.t)
     mask_s = mk(k4, (B, C, N)) % jnp.uint32(bfv.t)
 
