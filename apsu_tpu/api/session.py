@@ -85,7 +85,9 @@ def run_query_party(
             np.ascontiguousarray(snd.cuckoo.table).view(np.uint8).reshape(-1, 16)
         )
     else:
-        payload_by_slot = np.zeros((params.table_params.table_size, 16), np.uint8)
+        payload_by_slot = np.zeros(
+            (params.table_params.table_size, payloads.shape[1]), np.uint8
+        )
         idx = snd.cuckoo.item_index
         payload_by_slot[snd.cuckoo.filled] = payloads[idx[snd.cuckoo.filled]]
     ch.send(f"{peqt}:{mode}".encode())

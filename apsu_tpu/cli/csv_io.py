@@ -9,7 +9,7 @@ import numpy as np
 
 from apsu_tpu.hash.items import hash_items
 
-MAX_ITEM_BYTES = 16
+BLOCK = 16
 
 
 def read_items_csv(path: str) -> List[str]:
@@ -24,26 +24,32 @@ def read_items_csv(path: str) -> List[str]:
 
 
 def encode_payloads(strings: List[str]) -> np.ndarray:
-    """utf-8 item strings -> [n, 16] uint8 payload blocks (zero padded).
+    """utf-8 item strings -> [n, W] uint8 payload blocks.
 
-    Items longer than 16 bytes need the ARBITARY-length mode (reference flag
-    at common/apsu/log.h:12) — not wired into the CLI yet.
+    Arbitrary-length items (the reference's ARBITARY mode, common/apsu/
+    log.h:12): W = 2-byte length prefix + longest item, rounded up to
+    16-byte blocks; the OT endgame carries any width.
     """
-    out = np.zeros((len(strings), MAX_ITEM_BYTES), dtype=np.uint8)
-    for i, s in enumerate(strings):
-        b = s.encode()
-        if len(b) > MAX_ITEM_BYTES:
-            raise ValueError(
-                f"item {s!r} exceeds {MAX_ITEM_BYTES} bytes; use arbitrary-length mode"
-            )
-        out[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    enc = [s.encode() for s in strings]
+    longest = max((len(b) for b in enc), default=0)
+    W = max(BLOCK, ((longest + 2 + BLOCK - 1) // BLOCK) * BLOCK)
+    out = np.zeros((len(enc), W), dtype=np.uint8)
+    for i, b in enumerate(enc):
+        if len(b) > 0xFFFE:
+            raise ValueError(f"item longer than 65534 bytes: {strings[i][:40]!r}…")
+        out[i, 0] = len(b) & 0xFF
+        out[i, 1] = len(b) >> 8
+        out[i, 2 : 2 + len(b)] = np.frombuffer(b, dtype=np.uint8)
     return out
 
 
 def decode_payloads(blocks: np.ndarray) -> List[str]:
     out = []
     for row in blocks:
-        out.append(bytes(row).rstrip(b"\0").decode(errors="replace"))
+        n = int(row[0]) | (int(row[1]) << 8)
+        if n > len(row) - 2:  # garbage / sentinel remnants
+            continue
+        out.append(bytes(row[2 : 2 + n]).decode(errors="replace"))
     return out
 
 

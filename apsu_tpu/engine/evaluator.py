@@ -222,27 +222,19 @@ def eval_matching_polys_ps(
             return add_mod(acc, term, q.p_d)
 
         acc = jax.lax.fori_loop(
-            1, ell + 1, body, jnp.zeros((B, C, nh + 1, 2, q.k, N), jnp.uint32)
+            1,
+            ell + 1,
+            body,
+            jnp.zeros((low.shape[0], C, nh + 1, 2, q.k, N), jnp.uint32),
         )
         acc = q.from_mont(q.ntt.intt(acc))          # coeff plain
         dm = bfv._scale_impl(consts, q.k)           # [B, C, nh+1, L, N]
         c0 = add_mod(acc[..., 0, :, :], dm, q.p_d)
         return acc.at[..., 0, :, :].set(c0)         # [B, C, nh+1, 2, L, N]
 
-    inner = bfv._jitted(("ps_inner", ps_low_degree, B, C, nh), inner_impl)(
-        low_powers_ntt, coeff_cache, const_polys
-    )
-
-    # outer tensor products: (inner_k) × (y^k) for k=1..nh, batched over (B,C,k)
-    lhs = inner[:, :, 1:]                                     # [B, C, nh, 2, L, N]
-    rhs = jnp.broadcast_to(
-        high_powers_coeff[:, None, :, :, :, :], lhs.shape
-    )
-    prod3 = bfv.multiply(
-        Ciphertext(lhs, is_ntt=False, level=q.k),
-        Ciphertext(rhs, is_ntt=False, level=q.k),
-    )  # [B, C, nh, 3, L, N]
-
+    # Per-bundle-index processing bounds HBM temporaries: the full-level
+    # tensor-product operands at 16M scale are ~1.2 GB per bundle index, and
+    # the coefficient cache already occupies ~7 GB.
     def reduce_impl(prod, inner0):
         tot = prod
         # sum over k axis
@@ -252,13 +244,29 @@ def eval_matching_polys_ps(
             )
         acc = jax.lax.fori_loop(
             1, nh, body, tot[:, :, 0]
-        )  # [B, C, 3, L, N]
+        )  # [1, C, 3, L, N]
         # add the k=0 inner sum into the first two components
         return acc.at[:, :, :2].set(add_mod(acc[:, :, :2], inner0, q.p_d))
 
-    total3 = bfv._jitted(("ps_reduce", B, C, nh), reduce_impl)(
-        prod3.data, inner[:, :, 0]
-    )
+    inner_fn = bfv._jitted(("ps_inner", ps_low_degree, C, nh), inner_impl)
+    reduce_fn = bfv._jitted(("ps_reduce", C, nh), reduce_impl)
+    totals = []
+    for b in range(B):
+        inner_b = inner_fn(
+            low_powers_ntt[b : b + 1],
+            coeff_cache[b : b + 1],
+            const_polys[b : b + 1],
+        )  # [1, C, nh+1, 2, L, N]
+        lhs = inner_b[:, :, 1:]                               # [1, C, nh, 2, L, N]
+        rhs = jnp.broadcast_to(
+            high_powers_coeff[b : b + 1, None, :, :, :, :], lhs.shape
+        )
+        prod3 = bfv.multiply(
+            Ciphertext(lhs, is_ntt=False, level=q.k),
+            Ciphertext(rhs, is_ntt=False, level=q.k),
+        )  # [1, C, nh, 3, L, N]
+        totals.append(reduce_fn(prod3.data, inner_b[:, :, 0]))
+    total3 = jnp.concatenate(totals, axis=0)                  # [B, C, 3, L, N]
     rel = bfv.relinearize(Ciphertext(total3, is_ntt=False, level=q.k), relin_key)
     res = bfv.mod_switch_to(rel, result_level)
 

@@ -21,7 +21,7 @@ from apsu_tpu.mpc.osn_peqt import osn_peqt_db_side, osn_peqt_query_side
 from apsu_tpu.mpc.otext import ot_recv_chosen, ot_send_chosen
 from apsu_tpu.mpc.peqt import ddh_peqt_receiver, ddh_peqt_sender
 
-SENTINEL = np.full(16, 0xFF, dtype=np.uint8)  # "no item here" OT message
+SENTINEL_BYTE = 0xFF  # "no item here" rows are all-0xFF (any width)
 
 
 def felts_to_blocks(felt_matrix: np.ndarray, bits_per_felt: int) -> np.ndarray:
@@ -49,8 +49,8 @@ def endgame_query_side(
     else:
         perm = ddh_peqt_sender(ch, decrypted_blocks, rng)
     msgs = item_bytes_by_slot[perm].copy()
-    msgs[~filled[perm]] = SENTINEL
-    dummy = np.broadcast_to(SENTINEL, msgs.shape).copy()
+    msgs[~filled[perm]] = SENTINEL_BYTE
+    dummy = np.full(msgs.shape, SENTINEL_BYTE, dtype=np.uint8)
     # receiver chooses c=1 where matched -> gets dummy; c=0 -> gets the item
     ot_send_chosen(ch, msgs, dummy, rng)
 
@@ -68,7 +68,7 @@ def endgame_db_side(
     else:
         matched = ddh_peqt_receiver(ch, mask_blocks, rng)
     got = ot_recv_chosen(ch, matched.astype(np.uint8), rng)
-    keep = ~matched & ~np.all(got == SENTINEL, axis=1)
+    keep = ~matched & ~np.all(got == SENTINEL_BYTE, axis=1)
     return np.ascontiguousarray(got[keep])
 
 

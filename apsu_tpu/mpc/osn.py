@@ -22,8 +22,7 @@ from typing import List, Tuple
 import numpy as np
 
 from apsu_tpu.mpc.duplex import Duplex
-from apsu_tpu.mpc.otext import iknp_recv, iknp_send
-from apsu_tpu.mpc.prg import mmo_hash
+from apsu_tpu.mpc.otext import expand_pad, iknp_recv, iknp_send
 
 _NATIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 
@@ -78,10 +77,8 @@ def _pad_pow2(n: int) -> int:
 
 
 def _expand_pads(pads: np.ndarray) -> np.ndarray:
-    """[k, 16] OT pads -> [k, 32] via two tweaked MMO evaluations."""
-    return np.concatenate(
-        [mmo_hash(pads, tweak=0x0E11), mmo_hash(pads, tweak=0x0E12)], axis=1
-    )
+    """[k, 16] OT pads -> [k, 32] correction keystream."""
+    return expand_pad(pads, 32)
 
 
 def osn_holder(ch: Duplex, values: np.ndarray, rng: np.random.Generator) -> np.ndarray:

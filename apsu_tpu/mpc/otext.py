@@ -15,7 +15,7 @@ import numpy as np
 
 from apsu_tpu.mpc.baseot import base_ot_recv, base_ot_send
 from apsu_tpu.mpc.duplex import Duplex
-from apsu_tpu.mpc.prg import mmo_hash_indexed, prg_bits
+from apsu_tpu.mpc.prg import mmo_hash, mmo_hash_indexed, prg_bits
 
 KAPPA = 128
 
@@ -56,30 +56,44 @@ def iknp_recv(ch: Duplex, choices: np.ndarray, rng: np.random.Generator):
     return mmo_hash_indexed(_cols_to_blocks(t0))
 
 
+def expand_pad(pads: np.ndarray, nbytes: int) -> np.ndarray:
+    """[m, 16] OT pads -> [m, nbytes] keystream via counter-tweaked MMO
+    (arbitrary-width OT messages; the reference's ARBITARY-length mode
+    chunks items into 16-byte blocks the same way, common/apsu/log.h:12)."""
+    if nbytes == 16:
+        return pads
+    blocks = [mmo_hash(pads, tweak=0xE100 + i) for i in range((nbytes + 15) // 16)]
+    return np.concatenate(blocks, axis=1)[:, :nbytes]
+
+
 def ot_send_chosen(ch: Duplex, m0: np.ndarray, m1: np.ndarray, rng) -> None:
-    """Chosen-message OT sender: m0/m1 [m, 16] uint8."""
+    """Chosen-message OT sender: m0/m1 [m, W] uint8 (any width W)."""
     y0, y1 = iknp_send(ch, m0.shape[0], rng)
-    ch.send(np.concatenate([m0 ^ y0, m1 ^ y1], axis=1))
+    W = m0.shape[1]
+    ch.send(
+        np.concatenate([m0 ^ expand_pad(y0, W), m1 ^ expand_pad(y1, W)], axis=1)
+    )
 
 
 def ot_recv_chosen(ch: Duplex, choices: np.ndarray, rng) -> np.ndarray:
-    """Chosen-message OT receiver -> m_{c_j} [m, 16] uint8."""
+    """Chosen-message OT receiver -> m_{c_j} [m, W] uint8."""
     y = iknp_recv(ch, choices, rng)
     e = ch.recv()
+    W = e.shape[1] // 2
     c = np.asarray(choices, dtype=bool)
-    pick = np.where(c[:, None], e[:, 16:], e[:, :16])
-    return pick ^ y
+    pick = np.where(c[:, None], e[:, W:], e[:, :W])
+    return pick ^ expand_pad(y, W)
 
 
 def ot_send_onesided(ch: Duplex, m1: np.ndarray, rng) -> None:
     """One-sided OT (Kunlun OnesidedSend, iknp_ote.hpp:348): only the c=1
     message exists; c=0 receivers learn nothing."""
     _, y1 = iknp_send(ch, m1.shape[0], rng)
-    ch.send(m1 ^ y1)
+    ch.send(m1 ^ expand_pad(y1, m1.shape[1]))
 
 
 def ot_recv_onesided(ch: Duplex, choices: np.ndarray, rng) -> np.ndarray:
     """Returns m1 for rows with c=1 (other rows hold garbage)."""
     y = iknp_recv(ch, choices, rng)
     e = ch.recv()
-    return e ^ y
+    return e ^ expand_pad(y, e.shape[1])
