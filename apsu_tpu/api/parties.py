@@ -161,9 +161,34 @@ class Receiver:
         )
         self.last_mask: Optional[np.ndarray] = None
 
+    def validate_query(self, req: QueryRequest) -> None:
+        """Request validation (the reference's Query ctor, query.cpp:30-128):
+        source powers must match the parameter set, ciphertext batches must
+        cover every bundle index, relin keys must be present iff needed."""
+        p = self.params
+        expected = tuple(p.query_params.query_powers)
+        if tuple(req.power_list) != expected:
+            raise ValueError(
+                f"query powers {req.power_list} != parameter powers {expected}"
+            )
+        P, B = req.powers_data.shape[0], req.powers_data.shape[1]
+        if P != len(expected) or B != p.bundle_idx_count:
+            raise ValueError(
+                f"power tensor {req.powers_data.shape} inconsistent with "
+                f"{len(expected)} powers × {p.bundle_idx_count} bundle indices"
+            )
+        if req.powers_data.shape[-1] != p.poly_degree:
+            raise ValueError("ciphertext degree mismatch")
+        needs_relin = bool(self.plan.low.levels) or (
+            self.plan.high is not None and bool(self.plan.high.levels)
+        )
+        if needs_relin and req.relin_key is None:
+            raise ValueError("query requires relinearization keys")
+
     def run_query(self, req: QueryRequest) -> QueryResponse:
         p = self.params
         k = self.bfv.q.k
+        self.validate_query(req)
         cts = {
             s: Ciphertext(req.powers_data[i], is_ntt=False, level=k)
             for i, s in enumerate(req.power_list)
