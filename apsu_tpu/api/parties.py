@@ -136,9 +136,12 @@ class Sender:
         )
 
     def extract_matrix(self, resp: QueryResponse) -> np.ndarray:
-        """Decrypt result packages -> slot-value matrix [B, C, N] mod t."""
+        """Decrypt result packages -> slot-value matrix [B, C, N] mod t.
+
+        Fully device-resident (BEHZ {t,γ} scale-and-round + decode); one
+        transfer at the end."""
         ct = Ciphertext(jnp.asarray(resp.results), is_ntt=False, level=resp.eval_level)
-        polys = self.bfv.decrypt(ct, self.sk)          # [B, C, N]
+        polys = self.bfv.decrypt_device(ct, self.sk)   # [B, C, N] on device
         return jax.device_get(self.bfv.decode(polys))
 
     def peqt_matrix(self, slot_matrix: np.ndarray) -> np.ndarray:

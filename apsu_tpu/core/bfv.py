@@ -271,6 +271,82 @@ class BfvContext:
         data = self._jitted("encrypt", impl)(pt, a, e, sk.ntt_mont(q))
         return Ciphertext(data, is_ntt=False, level=q.k)
 
+    def decrypt_device(self, ct: Ciphertext, sk: SecretKey) -> jnp.ndarray:
+        """Fully device-resident decryption via the BEHZ {t, γ} scale-and-
+        round (the reference's SEAL decrypt path): m = round(t·x/Q) mod t
+        computed from RNS residues with a small auxiliary modulus γ — no
+        host big-int CRT.  Returns plaintext polys [..., N] on device."""
+        x = self._dot_with_secret(ct, sk)  # [..., L, N] plain coeff
+        lvl = ct.level
+        base = self.levels[lvl]
+        t = self.t
+        gamma = self._gamma
+        key = ("behz_decrypt", lvl)
+
+        def impl(x):
+            Ql = base.prod
+            # y_j = [x_j · γ·t·(Q/q_j)^{-1}]_{q_j}
+            A = np.array(
+                [
+                    _mont(gamma * t % p * base.phat_inv[j] % p, p)
+                    for j, p in enumerate(base.primes)
+                ],
+                dtype=np.uint32,
+            ).reshape(base.k, 1)
+            y = mont_mul(x, A, base.p_d, base.pni_d)  # plain, [..., L, N]
+
+            # FastBConv of γ·t·x mod Q into {t, γ} (+ αQ overshoot, absorbed
+            # by the γ-centering below)
+            def conv_to(m):
+                mm = np.uint32(m)
+                mni = np.uint32((-pow(int(m), -1, 1 << 32)) % (1 << 32))
+                acc = jnp.zeros(x.shape[:-2] + (x.shape[-1],), jnp.uint32)
+                for j, p in enumerate(base.primes):
+                    cj = np.uint32(_mont(base.phat[j] % m, m))
+                    acc_j = mont_mul(y[..., j, :], cj, mm, mni)
+                    acc = add_mod(acc, acc_j, mm)
+                return acc, mm, mni
+
+            r_t, t_d, t_ni = conv_to(t)
+            r_g, g_d, g_ni = conv_to(gamma)
+            negQinv_t = np.uint32(_mont((-pow(Ql % t, -1, t)) % t, t))
+            negQinv_g = np.uint32(_mont((-pow(Ql % gamma, -1, gamma)) % gamma, gamma))
+            v_t = mont_mul(r_t, negQinv_t, t_d, t_ni)
+            v_g = mont_mul(r_g, negQinv_g, g_d, g_ni)
+
+            # center v_γ and fold: m = (v_t − ρ)·γ^{-1} mod t
+            half_g = np.uint32(gamma >> 1)
+            neg = v_g > half_g
+            rho_pos = v_g              # ρ when positive (< γ/2)
+            rho_neg = g_d - v_g        # |ρ| when negative
+            # reduce |ρ| (< γ < 2^31) mod t via a Montgomery round trip
+            t_r2 = np.uint32((1 << 64) % t)
+            red = lambda v: mont_mul(
+                mont_mul(v, t_r2, t_d, t_ni), jnp.ones((), jnp.uint32), t_d, t_ni
+            )
+            diff = jnp.where(
+                neg,
+                add_mod(v_t, red(rho_neg), t_d),
+                sub_mod(v_t, red(rho_pos), t_d),
+            )
+            ginv_t = np.uint32(_mont(pow(gamma % t, -1, t), t))
+            return mont_mul(diff, ginv_t, t_d, t_ni)
+
+        return self._jitted(key, impl)(x)
+
+    @property
+    def _gamma(self) -> int:
+        """Auxiliary decryption modulus γ: coprime to t and every q_j,
+        ~2^29 (need γ ≫ 2·k to absorb conversion overshoot)."""
+        if not hasattr(self, "_gamma_val"):
+            g = (1 << 29) - 1
+            while True:
+                if nt.is_prime(g) and g != self.t and g not in self.q_primes:
+                    break
+                g -= 2
+            self._gamma_val = g
+        return self._gamma_val
+
     def decrypt(self, ct: Ciphertext, sk: SecretKey) -> np.ndarray:
         """Returns the plaintext polynomial(s) mod t (host numpy, [..., N])."""
         x = jax.device_get(self._dot_with_secret(ct, sk))  # [..., L, N] plain coeff

@@ -138,3 +138,22 @@ def test_mod_switch(ctx, keys):
     assert low.level == 1 and low.data.shape[1] == 1
     got = np.asarray(ctx.decode(ctx.decrypt(low, sk)))
     np.testing.assert_array_equal(got, v)
+
+
+def test_device_decrypt_matches_host(ctx, keys):
+    """BEHZ {t,γ} device decryption == host big-int CRT decryption."""
+    import jax
+
+    sk, rk, _ = keys
+    rng = np.random.default_rng(21)
+    v = rand_slots(ctx, rng)
+    ct = ctx.encrypt_symmetric(np.asarray(ctx.encode(v)), sk, rng)
+    host = ctx.decrypt(ct, sk)
+    dev = jax.device_get(ctx.decrypt_device(ct, sk))
+    np.testing.assert_array_equal(dev, host)
+    # after homomorphic ops and at a reduced level
+    prod = ctx.relinearize(ctx.multiply(ct, ct), rk)
+    low = ctx.mod_switch_to(prod, 2)
+    np.testing.assert_array_equal(
+        jax.device_get(ctx.decrypt_device(low, sk)), ctx.decrypt(low, sk)
+    )
