@@ -18,3 +18,24 @@ Party naming follows the reference (which inverted APSI's names):
 __version__ = "0.1.0"
 
 from apsu_tpu.core.params import PSUParams  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import apsu_tpu` light)."""
+    if name in ("run_psu", "run_psu_mpc", "PsuResult"):
+        from apsu_tpu.api import protocol
+
+        return getattr(protocol, name)
+    if name in ("Sender", "Receiver"):
+        from apsu_tpu.api import parties
+
+        return getattr(parties, name)
+    if name == "ReceiverDB":
+        from apsu_tpu.db.receiver_db import ReceiverDB
+
+        return ReceiverDB
+    if name == "BfvContext":
+        from apsu_tpu.core.bfv import BfvContext
+
+        return BfvContext
+    raise AttributeError(name)

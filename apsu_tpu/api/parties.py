@@ -208,7 +208,9 @@ class Receiver:
         self.last_mask = mask
 
         if self.plan.uses_ps:
-            low_ntt, high_coeff = compute_ps_power_tensors(self.bfv, cts, self.plan, rk)
+            low_ntt, high_coeff = compute_ps_power_tensors(
+                self.bfv, cts, self.plan, rk, eval_level=self.db.eval_lvl
+            )
             res = eval_matching_polys_ps(
                 self.bfv,
                 jnp.moveaxis(low_ntt, 0, 1),     # [B, ℓ, 2, L, N]
@@ -220,6 +222,7 @@ class Receiver:
                 p.query_params.ps_low_degree,
                 self.db.result_lvl,
                 p.table_params.max_items_per_bin,
+                eval_level=self.db.eval_lvl,
             )
             return QueryResponse(results=res.data, eval_level=self.db.result_lvl)
 

@@ -122,19 +122,11 @@ class BfvContext:
         # Bsk: enough ≤30-bit NTT primes to hold floor(t·|tensor|/Q) exactly,
         # |tensor| < N·(k+1)²·Q² (uncentered lifts with FastBConv overshoot)
         k = self.q.k
-        need_bits = (
-            self.Q.bit_length()
-            + math.ceil(math.log2(n))
-            + self.t.bit_length()
-            + 2 * math.ceil(math.log2(k + 1))
-            + 4
-        )
-        nb = max(k, math.ceil(need_bits / 30)) + 1  # +1 = m_sk channel
-        exclude = self.q_primes + [self.t] + ([self.special] if self.special else [])
-        bsk_primes = nt.gen_ntt_primes([30] * nb, 2 * n, exclude=exclude)
-        self.bsk = RnsBase(bsk_primes, n)
-        self.conv_q_to_bsk = BaseConv(self.q, self.bsk)
-        self.sk_conv = ShenoyKumaresanConv(self.bsk, self.q, n)
+        self._mul_ctx_cache = {}
+        mc = self._mul_ctx(k)
+        self.bsk = mc["bsk"]
+        self.conv_q_to_bsk = mc["conv"]
+        self.sk_conv = mc["sk_conv"]
 
         # constants
         self.delta_mont_q = np.array(
@@ -166,6 +158,61 @@ class BfvContext:
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
+
+    def _mul_ctx(self, level: int):
+        """Per-level BEHZ multiply machinery (Bsk base sized to Q_level)."""
+        if level not in self._mul_ctx_cache:
+            base = self.levels[level]
+            n = self.n
+            need_bits = (
+                base.prod.bit_length()
+                + math.ceil(math.log2(n))
+                + self.t.bit_length()
+                + 2 * math.ceil(math.log2(level + 1))
+                + 4
+            )
+            nb = max(level, math.ceil(need_bits / 30)) + 1  # +1 = m_sk channel
+            exclude = self.q_primes + [self.t] + (
+                [self.special] if self.special else []
+            )
+            bsk = RnsBase(nt.gen_ntt_primes([30] * nb, 2 * n, exclude=exclude), n)
+            self._mul_ctx_cache[level] = {
+                "bsk": bsk,
+                "conv": BaseConv(base, bsk),
+                "sk_conv": ShenoyKumaresanConv(bsk, base, n),
+                "t_mont_q": np.array(
+                    [_mont(self.t % p, p) for p in base.primes], dtype=np.uint32
+                ).reshape(base.k, 1),
+                "t_mont_bsk": np.array(
+                    [_mont(self.t % p, p) for p in bsk.primes], dtype=np.uint32
+                ).reshape(bsk.k, 1),
+                "qinv_mont_bsk": np.array(
+                    [_mont(pow(base.prod % p, -1, p), p) for p in bsk.primes],
+                    dtype=np.uint32,
+                ).reshape(bsk.k, 1),
+            }
+        return self._mul_ctx_cache[level]
+
+    def _qp_level(self, level: int):
+        """Key base Q_level · P for leveled key switching (lazy)."""
+        if level == self.q.k:
+            return self.qp
+        key = ("qp", level)
+        if key not in self._mul_ctx_cache:
+            self._mul_ctx_cache[key] = RnsBase(
+                self.q_primes[:level] + [self.special], self.n
+            )
+        return self._mul_ctx_cache[key]
+
+    def _div_p_level(self, level: int):
+        if level == self.q.k:
+            return self.div_p
+        key = ("div_p", level)
+        if key not in self._mul_ctx_cache:
+            self._mul_ctx_cache[key] = ExactDiv(
+                self.levels[level], self.special, round_nearest=True
+            )
+        return self._mul_ctx_cache[key]
 
     # ------------------------------------------------------------------
     # batch encoding (CRT slot packing mod t)
@@ -513,10 +560,16 @@ class BfvContext:
 
     def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """BEHZ ct×ct multiply -> 3-component ciphertext (no relin)."""
-        assert a.level == b.level == self.q.k, "multiply only at full level"
+        assert a.level == b.level, "multiply needs matching levels"
+        lvl = a.level
         a = self.from_ntt(a)
         b = self.from_ntt(b)
-        q, bsk = self.q, self.bsk
+        mc = self._mul_ctx(lvl)
+        q, bsk = self.levels[lvl], mc["bsk"]
+        conv_q_to_bsk = mc["conv"]
+        t_mont_q, t_mont_bsk = mc["t_mont_q"], mc["t_mont_bsk"]
+        qinv_mont_bsk = mc["qinv_mont_bsk"]
+        sk_conv = mc["sk_conv"]
 
         def impl(xa, xb):
             def tensor(base: RnsBase, xa, xb):
@@ -537,31 +590,39 @@ class BfvContext:
                 return base.from_mont(base.ntt.intt(f))
 
             x_q = tensor(q, xa, xb)                      # [..., 3, Lq, N]
-            a_bsk = self.conv_q_to_bsk(xa)
-            b_bsk = self.conv_q_to_bsk(xb)
+            a_bsk = conv_q_to_bsk(xa)
+            b_bsk = conv_q_to_bsk(xb)
             x_b = tensor(bsk, a_bsk, b_bsk)              # [..., 3, Lb, N]
 
-            # fast floor of t·x / Q, computed in Bsk
-            xt_q = mont_mul(x_q, self.t_mont_q, q.p_d, q.pni_d)
-            xt_b = mont_mul(x_b, self.t_mont_bsk, bsk.p_d, bsk.pni_d)
-            conv = self.conv_q_to_bsk(xt_q)
+            # fast floor of t·x / Q_lvl, computed in Bsk
+            xt_q = mont_mul(x_q, t_mont_q, q.p_d, q.pni_d)
+            xt_b = mont_mul(x_b, t_mont_bsk, bsk.p_d, bsk.pni_d)
+            conv = conv_q_to_bsk(xt_q)
             y_b = mont_mul(
-                sub_mod(xt_b, conv, bsk.p_d), self.qinv_mont_bsk, bsk.p_d, bsk.pni_d
+                sub_mod(xt_b, conv, bsk.p_d), qinv_mont_bsk, bsk.p_d, bsk.pni_d
             )
-            return self.sk_conv(y_b)                     # [..., 3, Lq, N] plain
+            return sk_conv(y_b)                          # [..., 3, Lq, N] plain
 
-        y_q = self._jitted("multiply", impl)(a.data, b.data)
-        return Ciphertext(y_q, is_ntt=False, level=self.q.k)
+        y_q = self._jitted(("multiply", lvl), impl)(a.data, b.data)
+        return Ciphertext(y_q, is_ntt=False, level=lvl)
 
     def square(self, a: Ciphertext) -> Ciphertext:
         return self.multiply(a, a)
 
     def relinearize(self, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
         """3-component -> 2-component via RNS-gadget key switching."""
-        assert ct.size == 3 and not ct.is_ntt and ct.level == self.q.k
-        q, qp = self.q, self.qp
+        assert ct.size == 3 and not ct.is_ntt
+        lvl = ct.level
+        q = self.levels[lvl]
+        qp = self._qp_level(lvl)
+        # leveled key switching: full-level keys restrict exactly (the CRT
+        # basis element of digit i is divisible by every other retained
+        # prime), so slice digit rows 0..lvl-1 and limb columns
+        # {0..lvl-1, special} out of the full ksk
+        limb_cols = list(range(lvl)) + [self.q.k]
 
-        def impl(data, ksk):
+        def impl(data, ksk_full):
+            ksk = ksk_full[:lvl][:, :, limb_cols, :]
             c2 = data[..., 2, :, :]  # [..., Lq, N] plain
             u = None
             for i in range(q.k):
@@ -573,11 +634,12 @@ class BfvContext:
                 )  # [..., 2, Lqp, N]
                 u = term if u is None else add_mod(u, term, qp.p_d)
             u = qp.from_mont(qp.ntt.intt(u))  # [..., 2, Lqp, N] plain coeff
-            u_q = self.div_p(u[..., : q.k, :], u[..., q.k :, :])  # ÷ P
+            div = self._div_p_level(lvl)
+            u_q = div(u[..., : q.k, :], u[..., q.k :, :])  # ÷ P
             return add_mod(data[..., :2, :, :], u_q, q.p_d)
 
-        new = self._jitted("relinearize", impl)(ct.data, rk.ksk)
-        return Ciphertext(new, is_ntt=False, level=self.q.k)
+        new = self._jitted(("relinearize", lvl), impl)(ct.data, rk.ksk)
+        return Ciphertext(new, is_ntt=False, level=lvl)
 
     def mod_switch_to(self, ct: Ciphertext, target_level: int) -> Ciphertext:
         ct = self.from_ntt(ct)

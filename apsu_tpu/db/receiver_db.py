@@ -136,7 +136,7 @@ class ReceiverDB:
         # polynomials c_{k·(ℓ+1)} in coefficient domain.
         ps_low = p.query_params.ps_low_degree
         uses_ps = ps_low > 0
-        lvl = self.bfv.q.k if uses_ps else (eval_level or self.eval_level())
+        lvl = self.ps_level() if uses_ps else (eval_level or self.eval_level())
         t = p.seal_params.plain_modulus
         if uses_ps:
             ph = ps_low + 1
@@ -213,6 +213,43 @@ class ReceiverDB:
                 return lvl
         return len(self.bfv.q_primes)
 
+    def ps_level(self) -> int:
+        """Evaluation level for the PS path: the outer ct×ct products need
+        one multiply's growth (~log2(N·t)) of room above the result level."""
+        import math
+
+        sp = self.params.seal_params
+        t_bits = sp.plain_modulus.bit_length()
+        need = (
+            self._result_need()
+            + t_bits
+            + math.log2(self.params.poly_degree) / 2
+            + 12
+        )
+        bits = 0
+        for lvl, q in enumerate(self.bfv.q_primes, start=1):
+            bits += q.bit_length()
+            if bits >= need:
+                return lvl
+        return len(self.bfv.q_primes)
+
+    def _result_need(self) -> float:
+        import math
+
+        p = self.params
+        sp = p.seal_params
+        t_bits = sp.plain_modulus.bit_length()
+        ell = p.query_params.ps_low_degree
+        inner_need = (
+            2 * t_bits
+            - 1
+            + 0.5 * (math.log2(p.poly_degree) - 3.58)
+            + math.log2(ell + 1)
+            + 8
+        )
+        nh = p.table_params.max_items_per_bin // (ell + 1)
+        return inner_need + t_bits + math.log2(p.poly_degree) / 2 + math.log2(nh + 1) + 14
+
     def result_level(self) -> int:
         """Result-transmission level for the PS path: inner-sum noise (degree
         ℓ dot product) multiplied once by a high power, summed over nh chunks
@@ -230,8 +267,7 @@ class ReceiverDB:
             + math.log2(ell + 1)
             + 8
         )
-        nh = p.table_params.max_items_per_bin // (ell + 1)
-        need = inner_need + t_bits + math.log2(p.poly_degree) / 2 + math.log2(nh + 1) + 14
+        need = self._result_need()
         bits = 0
         for lvl, q in enumerate(self.bfv.q_primes, start=1):
             bits += q.bit_length()

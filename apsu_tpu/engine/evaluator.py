@@ -86,6 +86,7 @@ def compute_ps_power_tensors(
     source_cts: Dict[int, Ciphertext],
     plan: QueryPlan,
     relin_key: Optional[RelinKey],
+    eval_level: Optional[int] = None,
 ):
     """Power tensors for the Paterson–Stockmeyer path (both at FULL level).
 
@@ -99,10 +100,12 @@ def compute_ps_power_tensors(
     low = _run_schedule(bfv, low_src, plan.low, relin_key)
     high = _run_schedule(bfv, high_src, plan.high, relin_key)
     k = bfv.q.k
+    lvl = eval_level or k
     low_stack = jnp.stack([low[p].data for p in range(1, plan.low.max_power + 1)])
     high_stack = jnp.stack([high[p].data for p in range(1, plan.high.max_power + 1)])
-    low_ntt = bfv.to_ntt(Ciphertext(low_stack, is_ntt=False, level=k)).data
-    return low_ntt, high_stack
+    low_sw = bfv.mod_switch_to(Ciphertext(low_stack, is_ntt=False, level=k), lvl)
+    high_sw = bfv.mod_switch_to(Ciphertext(high_stack, is_ntt=False, level=k), lvl)
+    return bfv.to_ntt(low_sw).data, high_sw.data
 
 
 def eval_matching_polys(
@@ -192,6 +195,7 @@ def eval_matching_polys_ps(
     ps_low_degree: int,
     result_level: int,
     max_degree: int,
+    eval_level: Optional[int] = None,
 ) -> Ciphertext:
     """Paterson–Stockmeyer evaluation (reference ``eval_patstock``,
     bin_bundle.cpp:192-360): M(x) = Σ_k x^{k(ℓ+1)}·I_k(x) with inner sums as
@@ -199,7 +203,8 @@ def eval_matching_polys_ps(
     (bundle, cache, k) — all outer products accumulate 3-component and a
     single relinearization closes the sum.
     """
-    q = bfv.q
+    lvl = eval_level or bfv.q.k
+    q = bfv.levels[lvl]
     ph = ps_low_degree + 1
     B, C = coeff_cache.shape[0], coeff_cache.shape[1]
     K = max_degree  # cache planes beyond K+1 are zero padding for Pallas
@@ -225,10 +230,12 @@ def eval_matching_polys_ps(
             1,
             ell + 1,
             body,
-            jnp.zeros((low.shape[0], C, nh + 1, 2, q.k, N), jnp.uint32),
+            jnp.zeros(
+                (low.shape[0], cache.shape[1], nh + 1, 2, q.k, N), jnp.uint32
+            ),
         )
         acc = q.from_mont(q.ntt.intt(acc))          # coeff plain
-        dm = bfv._scale_impl(consts, q.k)           # [B, C, nh+1, L, N]
+        dm = bfv._scale_impl(consts, lvl)           # [B, C, nh+1, L, N]
         c0 = add_mod(acc[..., 0, :, :], dm, q.p_d)
         return acc.at[..., 0, :, :].set(c0)         # [B, C, nh+1, 2, L, N]
 
@@ -248,27 +255,35 @@ def eval_matching_polys_ps(
         # add the k=0 inner sum into the first two components
         return acc.at[:, :, :2].set(add_mod(acc[:, :, :2], inner0, q.p_d))
 
-    inner_fn = bfv._jitted(("ps_inner", ps_low_degree, C, nh), inner_impl)
-    reduce_fn = bfv._jitted(("ps_reduce", C, nh), reduce_impl)
-    totals = []
+    inner_fn = bfv._jitted(("ps_inner", ps_low_degree, nh, lvl), inner_impl)
+    reduce_fn = bfv._jitted(("ps_reduce", nh, lvl), reduce_impl)
+    switched = []
     for b in range(B):
-        inner_b = inner_fn(
-            low_powers_ntt[b : b + 1],
-            coeff_cache[b : b + 1],
-            const_polys[b : b + 1],
-        )  # [1, C, nh+1, 2, L, N]
-        lhs = inner_b[:, :, 1:]                               # [1, C, nh, 2, L, N]
-        rhs = jnp.broadcast_to(
-            high_powers_coeff[b : b + 1, None, :, :, :, :], lhs.shape
+        row = []
+        for c in range(C):
+            inner_bc = inner_fn(
+                low_powers_ntt[b : b + 1],
+                coeff_cache[b : b + 1, c : c + 1],
+                const_polys[b : b + 1, c : c + 1],
+            )  # [1, 1, nh+1, 2, L, N]
+            lhs = inner_bc[:, :, 1:]                          # [1, 1, nh, 2, L, N]
+            rhs = jnp.broadcast_to(
+                high_powers_coeff[b : b + 1, None, :, :, :, :], lhs.shape
+            )
+            prod3 = bfv.multiply(
+                Ciphertext(lhs, is_ntt=False, level=lvl),
+                Ciphertext(rhs, is_ntt=False, level=lvl),
+            )  # [1, 1, nh, 3, L, N]
+            row.append(reduce_fn(prod3.data, inner_bc[:, :, 0]))
+        # relinearize + mod-switch per bundle index to bound peak HBM
+        total_b = jnp.concatenate(row, axis=1)                # [1, C, 3, L, N]
+        rel_b = bfv.relinearize(
+            Ciphertext(total_b, is_ntt=False, level=lvl), relin_key
         )
-        prod3 = bfv.multiply(
-            Ciphertext(lhs, is_ntt=False, level=q.k),
-            Ciphertext(rhs, is_ntt=False, level=q.k),
-        )  # [1, C, nh, 3, L, N]
-        totals.append(reduce_fn(prod3.data, inner_b[:, :, 0]))
-    total3 = jnp.concatenate(totals, axis=0)                  # [B, C, 3, L, N]
-    rel = bfv.relinearize(Ciphertext(total3, is_ntt=False, level=q.k), relin_key)
-    res = bfv.mod_switch_to(rel, result_level)
+        switched.append(bfv.mod_switch_to(rel_b, result_level).data)
+    res = Ciphertext(
+        jnp.concatenate(switched, axis=0), is_ntt=False, level=result_level
+    )
 
     # add the random mask at the result level
     def mask_impl(data, mask):
