@@ -166,14 +166,33 @@ class ReceiverDB:
 
         # chunked per-bundle build bounds device temporaries to one bundle's
         # worth (the 16M cache is ~7 GB; building it in one shot would need
-        # 2-3x that transiently)
+        # 2-3x that transiently).  Chunks are written into a preallocated,
+        # DONATED buffer — a final jnp.stack would transiently double the
+        # full cache and OOM the 16 GB chip.
         fn = self.bfv._jitted(("db_build", lvl, uses_ps, C), build)
-        outs = [fn(jnp.asarray(roots[b]), jnp.asarray(counts[b])) for b in range(B)]
-        self.coeff_cache = jnp.stack([o[0] for o in outs])
-        self.const_slots = jnp.stack([o[1] for o in outs])
-        self.ps_const_polys = (
-            jnp.stack([o[2] for o in outs]) if uses_ps else None
-        )
+        place_key = ("db_place", lvl, uses_ps, C)
+        if place_key not in self.bfv._jit_cache:
+            self.bfv._jit_cache[place_key] = jax.jit(
+                lambda buf, chunk, b: jax.lax.dynamic_update_slice_in_dim(
+                    buf, chunk[None], b, axis=0
+                ),
+                donate_argnums=0,
+            )
+        place = self.bfv._jit_cache[place_key]
+        planes = K + 1 + pad_planes
+        Lq = self.bfv.levels[lvl].k
+        cache_buf = jnp.zeros((B, C, planes, Lq, N), jnp.uint32)
+        consts = []
+        ps_consts = []
+        for b in range(B):
+            out = fn(jnp.asarray(roots[b]), jnp.asarray(counts[b]))
+            cache_buf = place(cache_buf, out[0], b)
+            consts.append(out[1])
+            if uses_ps:
+                ps_consts.append(out[2])
+        self.coeff_cache = cache_buf
+        self.const_slots = jnp.stack(consts)
+        self.ps_const_polys = jnp.stack(ps_consts) if uses_ps else None
         self.eval_lvl = lvl
         self.result_lvl = self.result_level() if uses_ps else lvl
         self.stats = DbStats(

@@ -62,22 +62,27 @@ def _run_schedule(
     have: Dict[int, Ciphertext],
     schedule: PowerSchedule,
     relin_key: Optional[RelinKey],
+    mul_chunk: int = 8,
 ) -> Dict[int, Ciphertext]:
-    """Level-synchronous wavefront: each dag level = one batched multiply +
-    one batched relinearize over all of the level's (target, a, b) products."""
+    """Level-synchronous wavefront: each dag level executes as batched
+    multiplies + relinearizations over its (target, a, b) products, chunked
+    to ``mul_chunk`` targets so the BEHZ temporaries (which span q ∪ Bsk)
+    stay bounded while the DB cache is HBM-resident."""
     k = bfv.q.k
     for level in schedule.levels:
-        lhs = jnp.stack([have[a].data for (_, a, _) in level])
-        rhs = jnp.stack([have[b].data for (_, _, b) in level])
-        prod = bfv.multiply(
-            Ciphertext(lhs, is_ntt=False, level=k),
-            Ciphertext(rhs, is_ntt=False, level=k),
-        )
         if relin_key is None:
             raise ValueError("power schedule requires relinearization keys")
-        rel = bfv.relinearize(prod, relin_key)
-        for i, (tgt, _, _) in enumerate(level):
-            have[tgt] = Ciphertext(rel.data[i], is_ntt=False, level=k)
+        for c0 in range(0, len(level), mul_chunk):
+            group = level[c0 : c0 + mul_chunk]
+            lhs = jnp.stack([have[a].data for (_, a, _) in group])
+            rhs = jnp.stack([have[b].data for (_, _, b) in group])
+            prod = bfv.multiply(
+                Ciphertext(lhs, is_ntt=False, level=k),
+                Ciphertext(rhs, is_ntt=False, level=k),
+            )
+            rel = bfv.relinearize(prod, relin_key)
+            for i, (tgt, _, _) in enumerate(group):
+                have[tgt] = Ciphertext(rel.data[i], is_ntt=False, level=k)
     return have
 
 
