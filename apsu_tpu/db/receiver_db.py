@@ -267,7 +267,9 @@ class ReceiverDB:
             + 8
         )
         nh = p.table_params.max_items_per_bin // (ell + 1)
-        return inner_need + t_bits + math.log2(p.poly_degree) / 2 + math.log2(nh + 1) + 14
+        # +22 margin: measured budgets with DENSE full-degree bins sit ~10
+        # bits above the sparse small-DB case; leave real headroom
+        return inner_need + t_bits + math.log2(p.poly_degree) / 2 + math.log2(nh + 1) + 22
 
     def result_level(self) -> int:
         """Result-transmission level for the PS path: inner-sum noise (degree
