@@ -17,10 +17,12 @@ Design notes
   in NTT domain over q ∪ Bsk, scale by t/q with a fast floor, exact
   Shenoy–Kumaresan conversion back to q.
 * Relinearization is RNS-gadget key switching with per-limb digits and a
-  single ≤30-bit special prime P (SEAL convention: the last generated prime
-  is reserved for keys; ciphertext data lives mod the others).
-* Decryption does the CRT scale-and-round on host with big ints for now
-  (sender-side, off the hot path); encrypt/eval are fully device-resident.
+  single ≤30-bit special prime P (SEAL convention).  Both multiply and
+  relinearization are LEVELED: full-level keys restrict exactly to any level
+  prefix, and each level gets its own right-sized auxiliary base.
+* Decryption is device-resident (BEHZ {t, γ} scale-and-round,
+  ``decrypt_device``); a host big-int CRT path (``decrypt``) remains as the
+  golden reference for tests.
 
 Security parameters (σ=3.2 ternary secret) follow the reference's SEAL
 ``tc128`` configuration (crypto_context.h:33-34).

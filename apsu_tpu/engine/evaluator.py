@@ -5,10 +5,10 @@ This is the receiver's online hot path, replacing the reference's
 ``BatchedPlaintextPolyn::eval`` stack (/root/reference/receiver/apsu/
 receiver_osn.cpp:395-540, bin_bundle.cpp:106-174): instead of one thread task
 per (bundle_idx, cache) evaluating SEAL ops, ALL bundle indices and caches
-evaluate in a single fused device kernel — the dot product over the degree
-axis runs as a fori_loop of elementwise Montgomery multiply-accumulates over
-``[B, C, 2, L, N]`` accumulators, reading the HBM-resident coefficient cache
-once (HBM-bandwidth-bound by design).
+evaluate in a single fused device kernel — on TPU a Pallas reduction-grid
+kernel with lazy 64-bit Montgomery accumulation (ops/polyeval.py) that
+streams the HBM-resident coefficient cache through VMEM exactly once; on CPU
+an XLA fori_loop fallback.
 """
 
 from __future__ import annotations

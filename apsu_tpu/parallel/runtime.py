@@ -32,7 +32,9 @@ class ShardedEvaluator:
 
     The cache [B, C, Dp, L, N] is reshaped to [B·C, Dp, L, N] and sharded on
     axis 0; bundles-with-fewer-caches hold all-one polynomials (never match)
-    so the rectangular shard layout is exact.
+    so the rectangular shard layout is exact.  Non-PS query path only for
+    now; the PS pipeline shards the same way (per-(bundle, cache) chunks are
+    already independent) and lands next round.
     """
 
     def __init__(self, db: ReceiverDB, mesh: Mesh, axis: str = "bundle"):

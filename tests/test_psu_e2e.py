@@ -220,3 +220,45 @@ def test_db_checkpoint_roundtrip(tmp_path):
         params, query, db_items, receiver=Receiver(params, loaded)
     )
     check_oracle(db_items, query, res)
+
+
+def test_query_validation_rejects_bad_requests():
+    from apsu_tpu.api.parties import QueryRequest, Receiver, Sender
+    from apsu_tpu.db.receiver_db import ReceiverDB
+    from apsu_tpu.mpc.oprf import DebugOprf
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    params = small_params()
+    db_items, query = make_sets(rng, n_db=150, n_query=20, n_common=5)
+    oprf = DebugOprf()
+    db = ReceiverDB(params, oprf)
+    db.set_data(db_items)
+    recv = Receiver(params, db)
+    snd = Sender(params, oprf)
+    req = snd.create_query(query)
+
+    bad = QueryRequest(
+        power_list=tuple(list(req.power_list)[:-1] + [99]),
+        powers_data=req.powers_data,
+        relin_key=req.relin_key,
+    )
+    with pytest.raises(ValueError, match="query powers"):
+        recv.run_query(bad)
+
+    bad2 = QueryRequest(
+        power_list=req.power_list,
+        powers_data=req.powers_data[:, :, :, :, : params.poly_degree // 2],
+        relin_key=req.relin_key,
+    )
+    with pytest.raises(ValueError, match="degree mismatch"):
+        recv.run_query(bad2)
+
+
+def test_cuckoo_table_overflow_raises():
+    from apsu_tpu.hash.cuckoo import CuckooFullError, cuckoo_insert
+
+    rng = np.random.default_rng(12)
+    items = rng.integers(0, 1 << 64, size=(65, 2), dtype=np.uint64)
+    with pytest.raises(CuckooFullError):
+        cuckoo_insert(items, table_size=64, func_count=2)
