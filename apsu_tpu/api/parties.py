@@ -31,6 +31,7 @@ from apsu_tpu.hash.cuckoo import CuckooTable, cuckoo_insert
 from apsu_tpu.hash.encoding import felts_from_items
 from apsu_tpu.hash.items import LocFuncs
 from apsu_tpu.mpc.oprf import OprfBackend
+from apsu_tpu.mpc.prg import CsRng
 
 
 @dataclass
@@ -64,18 +65,22 @@ class Sender:
         self,
         params: PSUParams,
         oprf: Optional[OprfBackend],
-        seed: int = 1,
+        rng=None,
         loc_seed: bytes = b"apsu-loc",
         oprf_factory=None,
     ):
         """oprf_factory(cuckoo_table_items) -> OprfBackend: late-bound OPRF
         construction for interactive backends (KKRT binds the query party's
-        cuckoo table at setup; reference sender_osn.cpp:428)."""
+        cuckoo table at setup; reference sender_osn.cpp:428).
+
+        rng sources ALL party secrets (BFV secret key, encryption noise, OT
+        state); defaults to an OS-entropy AES-CTR CsRng.  Pass a fixed-key
+        CsRng (or a numpy Generator) only for deterministic tests."""
         self.params = params
         self.oprf = oprf
         self.oprf_factory = oprf_factory
         self.bfv = BfvContext(params.seal_params)
-        self.rng = np.random.default_rng(seed)
+        self.rng = rng if rng is not None else CsRng()
         self.sk = self.bfv.gen_secret_key(self.rng)
         needs_relin = bool(
             plan_query(
@@ -152,11 +157,11 @@ class Sender:
 class Receiver:
     """DB side (large set)."""
 
-    def __init__(self, params: PSUParams, db: ReceiverDB, seed: int = 2):
+    def __init__(self, params: PSUParams, db: ReceiverDB, rng=None):
         self.params = params
         self.db = db
         self.bfv = db.bfv
-        self.rng = np.random.default_rng(seed)
+        self.rng = rng if rng is not None else CsRng()
         self.plan = plan_query(
             params.query_params.query_powers,
             params.table_params.max_items_per_bin,
@@ -182,8 +187,12 @@ class Receiver:
             )
         if req.powers_data.shape[-1] != p.poly_degree:
             raise ValueError("ciphertext degree mismatch")
-        needs_relin = bool(self.plan.low.levels) or (
-            self.plan.high is not None and bool(self.plan.high.levels)
+        # PS always relinearizes its outer ct×ct products, even when the
+        # query powers directly cover both domains (matches Sender.__init__)
+        needs_relin = (
+            bool(self.plan.low.levels)
+            or (self.plan.high is not None and bool(self.plan.high.levels))
+            or self.plan.uses_ps
         )
         if needs_relin and req.relin_key is None:
             raise ValueError("query requires relinearization keys")

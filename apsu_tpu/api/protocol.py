@@ -126,7 +126,9 @@ def run_psu_mpc(
 
     def query_thread():
         try:
-            rng = np.random.default_rng(seed + 1)
+            from apsu_tpu.mpc.prg import CsRng
+
+            rng = CsRng(b"run_psu_mpc/query:%08d" % (seed,))
             run_query_party(
                 ch_q, sender_items, rng, params=params, timings=timings, peqt=peqt
             )
@@ -135,7 +137,9 @@ def run_psu_mpc(
 
     def db_thread():
         try:
-            rng = np.random.default_rng(seed + 2)
+            from apsu_tpu.mpc.prg import CsRng
+
+            rng = CsRng(b"run_psu_mpc/db:%08d" % (seed,))
             out["transferred"] = run_db_party(
                 ch_db, params, receiver_items, rng, timings=timings
             )

@@ -33,12 +33,13 @@ from apsu_tpu.mpc.endgame import (
     felts_to_blocks,
 )
 from apsu_tpu.mpc.kkrt import KkrtReceiver, KkrtSender
+from apsu_tpu.mpc.prg import CsRng
 
 
 def run_query_party(
     ch: Duplex,
     items: np.ndarray,
-    rng: np.random.Generator,
+    rng=None,
     params: Optional[PSUParams] = None,
     payloads: Optional[np.ndarray] = None,
     timings: Optional[Dict[str, float]] = None,
@@ -49,8 +50,12 @@ def run_query_party(
     """The small-set party.  mode: "union" (transfer X∖Y), "card"
     (cardinality only) or "cardsum" (cardinality + sum of per-item values,
     the reference's CARD/CARDSUM compile-time flags at common/apsu/log.h:
-    11-14 folded into runtime config).  Returns the params used."""
+    11-14 folded into runtime config).  Returns the params used.
+
+    rng sources all of this party's secret material; None means an
+    OS-entropy CsRng (production default)."""
     timings = timings if timings is not None else {}
+    rng = rng if rng is not None else CsRng()
     # params handshake: DB side is authoritative (reference RunParams)
     ch.send(b"params?")
     params_json = ch.recv().decode()
@@ -62,7 +67,7 @@ def run_query_party(
     snd = Sender(
         params,
         oprf=None,
-        seed=int(rng.integers(1 << 30)),
+        rng=rng,
         oprf_factory=lambda table: KkrtReceiver(ch, table, rng),
     )
     t0 = time.perf_counter()
@@ -114,13 +119,14 @@ def run_db_party(
     ch: Duplex,
     params: PSUParams,
     items: np.ndarray,
-    rng: np.random.Generator,
+    rng=None,
     timings: Optional[Dict[str, float]] = None,
     db: Optional[ReceiverDB] = None,
 ) -> np.ndarray:
     """The large-set party: serves one query, returns transferred payloads
     [k, 16] uint8 (the difference set X∖Y)."""
     timings = timings if timings is not None else {}
+    rng = rng if rng is not None else CsRng()
     assert ch.recv() == b"params?"
     ch.send(params.to_json().encode())
 
@@ -130,7 +136,7 @@ def run_db_party(
         db = ReceiverDB(params, oprf)
         db.set_data(items)
     timings["db_build"] = time.perf_counter() - t0
-    recv = Receiver(params, db, seed=int(rng.integers(1 << 30)))
+    recv = Receiver(params, db, rng=rng)
 
     powers_data = ch.recv()
     plist = tuple(int(x) for x in ch.recv())

@@ -15,6 +15,19 @@ import sys
 import numpy as np
 
 
+def _make_rng(seed: int):
+    """OS-entropy CsRng in production; sha256-derived fixed key when --seed
+    is given (reproducible runs for the test harness ONLY — a 32-bit seed is
+    brute-forceable and must never be used against a real counterparty)."""
+    import hashlib
+
+    from apsu_tpu.mpc.prg import CsRng
+
+    if seed:
+        return CsRng(hashlib.sha256(b"apsu-cli-seed:%d" % seed).digest())
+    return CsRng()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="apsu_tpu receiver (DB party)")
     ap.add_argument("--params", required=True, help="parameter JSON file")
@@ -51,7 +64,7 @@ def main(argv=None):
 
     log.info("listening on %s:%d", args.bind, args.port)
     ch = SocketDuplex.listen_accept(args.port, args.bind)
-    rng = np.random.default_rng(args.seed or None)
+    rng = _make_rng(args.seed)
     timings = {}
     with GLOBAL.span("serve_query"):
         transferred = run_db_party(ch, params, items, rng, timings=timings)

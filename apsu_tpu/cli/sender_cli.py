@@ -15,6 +15,8 @@ import sys
 
 import numpy as np
 
+from apsu_tpu.cli.receiver_cli import _make_rng
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description="apsu_tpu sender (query party)")
@@ -49,7 +51,7 @@ def main(argv=None):
     log.info("query: %d items; connecting to %s:%d", len(strings), args.host, args.port)
 
     ch = SocketDuplex.connect(args.host, args.port)
-    rng = np.random.default_rng(args.seed or None)
+    rng = _make_rng(args.seed)
     timings = {}
     with GLOBAL.span("query"):
         run_query_party(

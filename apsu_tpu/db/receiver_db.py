@@ -86,9 +86,11 @@ class ReceiverDB:
         slots = locs.reshape(-1)                   # [n*h]
         rep = np.repeat(items, h, axis=0)
 
-        # drop duplicate (item, slot) pairs arising from colliding loc funcs
-        # (the reference's all_locations is a set, receiver_db.cpp:70-79)
-        if h > 1:
+        # drop duplicate (item, slot) pairs — colliding loc funcs AND
+        # duplicate input items (the reference's all_locations is a set,
+        # receiver_db.cpp:70-79, and its per-bin cuckoo filter rejects
+        # re-inserts of the same item; runs for h == 1 too)
+        if len(slots):
             keep = np.ones(len(slots), dtype=bool)
             order0 = np.lexsort((rep[:, 1], rep[:, 0], slots))
             sk, r0, r1 = slots[order0], rep[order0, 0], rep[order0, 1]
@@ -130,21 +132,52 @@ class ReceiverDB:
             used = np.bincount(sb[cnt_c > 0], minlength=B) > 0
             per_bundle_caches[used] += 1
 
-        # 6. device: polynomials -> batch encode -> lift to NTT mod q.
-        # PS configs keep the cache at FULL level (the outer ct×ct products
-        # happen there) and additionally retain the encoded chunk-constant
-        # polynomials c_{k·(ℓ+1)} in coefficient domain.
+        # 6. device build of the evaluation cache
+        self._build_cache(roots, counts, eval_level)
+        self.stats = DbStats(
+            n_items=n,
+            n_insertions=len(slots),
+            n_caches=C,
+            cache_counts=per_bundle_caches,
+            max_bin_load=int(slot_counts.max()) if len(slot_counts) else 0,
+        )
+        if self.stats.max_bin_load > K * C:
+            raise ValueError("bin overflow beyond cache capacity")
+        return self.stats
+
+    # ------------------------------------------------------------------
+    def _build_cache(
+        self, roots: np.ndarray, counts: np.ndarray, eval_level: Optional[int] = None
+    ) -> None:
+        """Device build: polynomials -> batch encode -> lift to NTT mod q.
+
+        roots [B, C, K, N] uint32 mod t, counts [B, C, N] int32 per-lane bin
+        loads.  PS configs keep the cache at FULL level (the outer ct×ct
+        products happen there) and additionally retain the encoded
+        chunk-constant polynomials c_{k·(ℓ+1)} in coefficient domain.
+        """
+        p = self.params
+        B, C, K, N = roots.shape
         ps_low = p.query_params.ps_low_degree
         uses_ps = ps_low > 0
         lvl = self.ps_level() if uses_ps else (eval_level or self.eval_level())
         t = p.seal_params.plain_modulus
-        if uses_ps:
-            ph = ps_low + 1
-            const_idx = np.arange(0, (K // ph) + 1) * ph
 
         from apsu_tpu.ops.polyeval import DEG_CHUNK
 
-        pad_planes = (-(K + 1)) % DEG_CHUNK  # zero planes: align for Pallas
+        # Zero-pad the coefficient-plane axis so (a) it aligns to the Pallas
+        # degree chunk and (b) every PS gather index nh·ph + i (i ≤ ℓ) is
+        # in-bounds on a REAL zero plane — when K % ph < ℓ the last chunk
+        # reads planes past K+1, which must exist and be zero (ADVICE r1).
+        if uses_ps:
+            ph = ps_low + 1
+            nh = K // ph
+            min_planes = max(K + 1, nh * ph + ps_low + 1)
+            const_idx = np.arange(0, nh + 1) * ph
+        else:
+            min_planes = K + 1
+        planes = -(-min_planes // DEG_CHUNK) * DEG_CHUNK
+        pad_planes = planes - (K + 1)
 
         def build(roots_d, counts_d):
             coeffs = polyn_with_roots(roots_d, counts_d, t)    # [C, K+1, N] mod t
@@ -157,7 +190,7 @@ class ReceiverDB:
                     axis=-2,
                 )
             polys = self.bfv.encode(coeffs)                    # batch-encode slots
-            cache = self.bfv.lift_plaintext_ntt(polys, lvl)    # [C, K+1, L, N]
+            cache = self.bfv.lift_plaintext_ntt(polys, lvl)    # [C, planes, L, N]
             if uses_ps:
                 return cache, coeffs[..., 0, :], polys[..., const_idx, :]
             # constant coefficients stay in slot domain: the evaluator folds
@@ -169,8 +202,8 @@ class ReceiverDB:
         # 2-3x that transiently).  Chunks are written into a preallocated,
         # DONATED buffer — a final jnp.stack would transiently double the
         # full cache and OOM the 16 GB chip.
-        fn = self.bfv._jitted(("db_build", lvl, uses_ps, C), build)
-        place_key = ("db_place", lvl, uses_ps, C)
+        fn = self.bfv._jitted(("db_build", lvl, uses_ps, C, planes), build)
+        place_key = ("db_place", lvl, uses_ps, C, planes)
         if place_key not in self.bfv._jit_cache:
             self.bfv._jit_cache[place_key] = jax.jit(
                 lambda buf, chunk, b: jax.lax.dynamic_update_slice_in_dim(
@@ -179,7 +212,6 @@ class ReceiverDB:
                 donate_argnums=0,
             )
         place = self.bfv._jit_cache[place_key]
-        planes = K + 1 + pad_planes
         Lq = self.bfv.levels[lvl].k
         cache_buf = jnp.zeros((B, C, planes, Lq, N), jnp.uint32)
         consts = []
@@ -195,16 +227,36 @@ class ReceiverDB:
         self.ps_const_polys = jnp.stack(ps_consts) if uses_ps else None
         self.eval_lvl = lvl
         self.result_lvl = self.result_level() if uses_ps else lvl
-        self.stats = DbStats(
-            n_items=n,
-            n_insertions=len(slots),
-            n_caches=C,
-            cache_counts=per_bundle_caches,
-            max_bin_load=int(slot_counts.max()) if len(slot_counts) else 0,
+
+    def set_synthetic_dense(
+        self, rng, n_caches: int = 1, eval_level: Optional[int] = None
+    ) -> np.ndarray:
+        """Worst-case synthetic DB: every bin packed to max_items_per_bin.
+
+        Builds the evaluation cache from random full bins (the densest load
+        any parameter file permits) without cuckoo hashing or an OPRF — the
+        operand of the noise-margin sweep (tools/param_sweep.py) and of
+        full-degree evaluator tests.  Returns the roots tensor
+        [B, C, K, N] so callers can plant matching query values."""
+        p = self.params
+        tp = p.table_params
+        B, N, K = p.bundle_idx_count, p.poly_degree, tp.max_items_per_bin
+        C = n_caches
+        t = p.seal_params.plain_modulus
+        roots = (
+            np.asarray(rng.integers(1, t, size=(B, C, K, N), dtype=np.uint64))
+            .astype(np.uint32)
         )
-        if self.stats.max_bin_load > K * C:
-            raise ValueError("bin overflow beyond cache capacity")
-        return self.stats
+        counts = np.full((B, C, N), K, dtype=np.int32)
+        self._build_cache(roots, counts, eval_level)
+        self.stats = DbStats(
+            n_items=B * C * K * N,
+            n_insertions=B * C * K * N,
+            n_caches=C,
+            cache_counts=np.full(B, C, dtype=np.int64),
+            max_bin_load=K * C,
+        )
+        return roots
 
     # ------------------------------------------------------------------
     def eval_level(self) -> int:

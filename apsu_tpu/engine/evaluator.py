@@ -27,10 +27,22 @@ from apsu_tpu.ops.polyeval import DEG_CHUNK, eval_dot_pallas
 
 def _use_pallas(bfv: BfvContext, level: int) -> bool:
     """Pallas path: TPU backend + all eval-level primes < 2^28 (the narrow
-    lazy-reduction kernel's precondition)."""
-    if jax.default_backend() == "cpu":
+    lazy-reduction kernel's precondition).  APSU_PALLAS_INTERPRET=1 forces
+    the kernel through the Pallas interpreter on CPU (test coverage of the
+    production kernel inside the full evaluator)."""
+    import os
+
+    if jax.default_backend() == "cpu" and not os.environ.get("APSU_PALLAS_INTERPRET"):
         return False
     return all(p < (1 << 28) for p in bfv.levels[level].primes)
+
+
+def _pallas_interpret() -> bool:
+    import os
+
+    return jax.default_backend() == "cpu" and bool(
+        os.environ.get("APSU_PALLAS_INTERPRET")
+    )
 
 
 def compute_power_tensor(
@@ -148,7 +160,9 @@ def eval_matching_polys(
             )
             c = bfv.levels[eval_level]
             consts = np.stack([np.asarray(c.p_d).ravel(), np.asarray(c.pni_d).ravel()])
-            acc = eval_dot_pallas(pw, cache, consts[0], consts[1])
+            acc = eval_dot_pallas(
+                pw, cache, consts[0], consts[1], interpret=_pallas_interpret()
+            )
         else:
             acc = jnp.zeros((B, C, 2, base.k, N), dtype=jnp.uint32)
             CH = min(16, D)
@@ -217,6 +231,14 @@ def eval_matching_polys_ps(
     N = coeff_cache.shape[-1]
     ell = low_powers_ntt.shape[1]
     assert ell == ps_low_degree
+    # every gather index k·ph + i (k ≤ nh, i ≤ ℓ) must land on a real plane
+    # (zero-padded past K+1 by the DB build) — an out-of-range index would be
+    # clipped onto the NONZERO leading-coefficient plane and silently corrupt
+    # results whenever K % ph < ℓ (ADVICE round 1, medium)
+    assert coeff_cache.shape[2] >= nh * ph + ell + 1, (
+        f"coefficient cache has {coeff_cache.shape[2]} planes; PS gather "
+        f"needs {nh * ph + ell + 1} (pad with zero planes in the DB build)"
+    )
 
     def inner_impl(low, cache, consts):
         # coefficient plane of chunk k, degree i is k·ph + i (gathered per i;

@@ -21,7 +21,12 @@ from apsu_tpu.mpc.osn_peqt import osn_peqt_db_side, osn_peqt_query_side
 from apsu_tpu.mpc.otext import ot_recv_chosen, ot_send_chosen
 from apsu_tpu.mpc.peqt import ddh_peqt_receiver, ddh_peqt_sender
 
-SENTINEL_BYTE = 0xFF  # "no item here" rows are all-0xFF (any width)
+# OT messages carry an explicit one-byte validity flag (1 = real item,
+# 0 = empty slot / matched dummy) ahead of the payload, so NO payload value
+# is in-band-reserved — an all-0xFF item or arbitrary-width payload is
+# transferred faithfully (ADVICE round 1: the previous all-0xFF sentinel
+# was in-band for arbitrary-width payload mode).
+_VALID, _EMPTY = 1, 0
 
 
 def felts_to_blocks(felt_matrix: np.ndarray, bits_per_felt: int) -> np.ndarray:
@@ -48,9 +53,12 @@ def endgame_query_side(
         perm = osn_peqt_query_side(ch, decrypted_blocks, rng)
     else:
         perm = ddh_peqt_sender(ch, decrypted_blocks, rng)
-    msgs = item_bytes_by_slot[perm].copy()
-    msgs[~filled[perm]] = SENTINEL_BYTE
-    dummy = np.full(msgs.shape, SENTINEL_BYTE, dtype=np.uint8)
+    payload = item_bytes_by_slot[perm]
+    msgs = np.zeros((payload.shape[0], payload.shape[1] + 1), dtype=np.uint8)
+    msgs[:, 0] = np.where(filled[perm], _VALID, _EMPTY)
+    msgs[:, 1:] = payload
+    msgs[~filled[perm], 1:] = 0
+    dummy = np.zeros(msgs.shape, dtype=np.uint8)  # flag byte = _EMPTY
     # receiver chooses c=1 where matched -> gets dummy; c=0 -> gets the item
     ot_send_chosen(ch, msgs, dummy, rng)
 
@@ -68,8 +76,8 @@ def endgame_db_side(
     else:
         matched = ddh_peqt_receiver(ch, mask_blocks, rng)
     got = ot_recv_chosen(ch, matched.astype(np.uint8), rng)
-    keep = ~matched & ~np.all(got == SENTINEL_BYTE, axis=1)
-    return np.ascontiguousarray(got[keep])
+    keep = ~matched & (got[:, 0] == _VALID)
+    return np.ascontiguousarray(got[keep, 1:])
 
 
 def cardsum_query_side(

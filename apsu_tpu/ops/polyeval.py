@@ -93,9 +93,14 @@ def _sub_if_ge(x, p):
     return jnp.where(x >= p, x - p, x)
 
 
-def eval_dot_pallas(powers, cache, p_np: np.ndarray, pni_np: np.ndarray):
+def eval_dot_pallas(
+    powers, cache, p_np: np.ndarray, pni_np: np.ndarray, interpret: bool = False
+):
     """powers [B, Dp, 2, L, N] NTT mont; cache [B, C, Dp, L, N] NTT mont;
-    returns [B, C, 2, L, N].  Dp must be a multiple of DEG_CHUNK."""
+    returns [B, C, 2, L, N].  Dp must be a multiple of DEG_CHUNK.
+
+    interpret=True runs the kernel through the Pallas interpreter (any
+    backend) — the in-suite coverage path for the production TPU kernel."""
     B, Dp, _, L, N = powers.shape
     C = cache.shape[1]
     assert Dp % DEG_CHUNK == 0, "degree axis must be chunk-padded"
@@ -127,4 +132,5 @@ def eval_dot_pallas(powers, cache, p_np: np.ndarray, pni_np: np.ndarray):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(p, pni, powers, cache)
