@@ -47,6 +47,11 @@ class QueryRequest:
     power_list: Tuple[int, ...]          # sorted source powers
     powers_data: jnp.ndarray             # [P, B, 2, L, N] ct data per power
     relin_key: Optional[jnp.ndarray]     # [kdig, 2, Lqp, N] NTT mont or None
+    # seed-compression (seal_object.h Serializable semantics): the uniform
+    # components above expand deterministically from these public seeds, so
+    # the wire carries only c0 / ksk[:, 0] plus 32 bytes each
+    a_seed: Optional[bytes] = None
+    rk_seed: Optional[bytes] = None
 
 
 @dataclass
@@ -89,7 +94,12 @@ class Sender:
                 params.query_params.ps_low_degree,
             ).low.levels
         ) or params.query_params.ps_low_degree > 0
-        self.rk = self.bfv.gen_relin_key(self.sk, self.rng) if needs_relin else None
+        self.rk_seed = bytes(self.rng.bytes(32)) if needs_relin else None
+        self.rk = (
+            self.bfv.gen_relin_key(self.sk, self.rng, a_seed=self.rk_seed)
+            if needs_relin
+            else None
+        )
         self.locs = LocFuncs(
             params.table_params.table_size, params.table_params.hash_func_count, loc_seed
         )
@@ -133,11 +143,16 @@ class Sender:
             ]
         )  # [P, B, N]
         pt = self.bfv.encode(stack)
-        ct = self.bfv.encrypt_symmetric(pt, self.sk, self.rng)  # [P, B, 2, L, N]
+        a_seed = bytes(self.rng.bytes(32))
+        ct = self.bfv.encrypt_symmetric(
+            pt, self.sk, self.rng, a_seed=a_seed
+        )  # [P, B, 2, L, N]
         return QueryRequest(
             power_list=plist,
             powers_data=ct.data,
             relin_key=self.rk.ksk if self.rk else None,
+            a_seed=a_seed,
+            rk_seed=self.rk_seed,
         )
 
     def extract_matrix(self, resp: QueryResponse) -> np.ndarray:

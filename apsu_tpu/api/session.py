@@ -1,11 +1,25 @@
-"""Two-party PSU session: the shared wire flow for both deployment modes.
+"""Two-party PSU session: the typed wire flow for both deployment modes.
 
-One function per party, parameterized by a Duplex — run them on the two ends
-of an in-process pipe (run_psu_mpc) or a TCP socket (the CLIs).  The message
-sequence mirrors the reference's protocol phases (SURVEY §3): params
-handshake (rop_parms, receiver_dispatcher_osn.cpp:104-126) → interactive
-KKRT OPRF during DB build → encrypted query powers (rop_query) → result
-packages → DDH permuted equality test → chosen-OT transfer of X∖Y.
+One function per party over a Duplex — an in-process pipe (run_psu_mpc) or a
+TCP socket (the CLIs).  Every message is op-typed and versioned
+(net/wire.py; reference op types at common/apsu/network/receiver_operation.
+h:27, safe downcasts at requests.h:37-97), the message sequence mirrors the
+reference's phases (SURVEY §3): params handshake (rop_parms) → interactive
+OPRF → encrypted query powers (rop_query) → result packages → permuted
+equality test → chosen-OT transfer of X∖Y.
+
+Wire compression (seal_object.h Serializable semantics): fresh symmetric
+query ciphertexts and relin keys travel seed-compressed (c0 / ksk[:,0] plus
+a 32-byte PRG seed); result ciphertexts travel bit-packed at the residue
+entropy floor (net/wire.py pack_residues).
+
+Serve-loop mode (``serve_db_party`` with max_queries != 1): the DB party
+keeps its HBM cache resident and answers successive queries — this requires
+the fixed-key ECDH OPRF backend (``oprf="ecdh"``), because a slot-bound
+KKRT correlation binds exactly one query session (mpc/oprf.py).  The
+reference's dispatcher quits after one query
+(receiver_dispatcher_osn.cpp:116); the resident server is what its
+preprocessing model was for.
 
 Payloads: the OT carries each item's 16-byte payload (its original bytes) so
 the DB party reconstructs the union in the clear, like the reference's
@@ -14,8 +28,9 @@ sendMessages of original items (sender_osn.cpp:379-399).
 
 from __future__ import annotations
 
+import json
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +48,146 @@ from apsu_tpu.mpc.endgame import (
     felts_to_blocks,
 )
 from apsu_tpu.mpc.kkrt import KkrtReceiver, KkrtSender
+from apsu_tpu.mpc.oprf import EcdhOprfClient, EcdhOprfServer
 from apsu_tpu.mpc.prg import CsRng
+from apsu_tpu.net.wire import (
+    OP_BYE,
+    OP_ENDGAME,
+    OP_OPRF,
+    OP_PARAMS,
+    OP_PARAMS_REQ,
+    OP_QUERY,
+    OP_QUERY_DATA,
+    OP_RESPONSE,
+    OP_RESULT,
+    WIRE_VERSION,
+    ProtocolError,
+    TypedDuplex,
+    pack_residues,
+    unpack_residues,
+)
+
+
+class QueryClient:
+    """Query-party session against a (possibly resident) DB server.
+
+    Handshakes once, then issues one or more queries; each query runs the
+    full online phase (cuckoo → OPRF → encrypted powers → decrypt → PEQT →
+    OT).  Multi-query sessions need the ECDH OPRF backend.
+    """
+
+    def __init__(
+        self,
+        ch: Duplex,
+        rng=None,
+        params: Optional[PSUParams] = None,
+        oprf: str = "kkrt",
+    ):
+        self.t = TypedDuplex(ch)
+        self.rng = rng if rng is not None else CsRng()
+        self.oprf = oprf
+        hello = json.dumps({"version": WIRE_VERSION, "oprf": oprf}).encode()
+        self.t.send_op(OP_PARAMS_REQ, hello)
+        remote = PSUParams.load_json(self.t.expect(OP_PARAMS).decode())
+        if params is not None and params.to_dict() != remote.to_dict():
+            raise ValueError("parameter mismatch with DB party")
+        self.params = remote
+        self._queries = 0
+
+    def _oprf_factory(self, table):
+        ch = self.t.scoped(OP_OPRF)
+        if self.oprf == "ecdh":
+            return EcdhOprfClient(ch, table, self.rng)
+        return KkrtReceiver(ch, table, self.rng)
+
+    def query(
+        self,
+        items: np.ndarray,
+        payloads: Optional[np.ndarray] = None,
+        peqt: str = "ddh",
+        mode: str = "union",
+        values: Optional[np.ndarray] = None,
+        timings: Optional[Dict[str, float]] = None,
+    ) -> None:
+        """One full PSU query.  The DB party ends up with the union."""
+        timings = timings if timings is not None else {}
+        if self._queries and self.oprf != "ecdh":
+            raise ProtocolError(
+                "KKRT OPRF correlations are single-query; use oprf='ecdh' "
+                "for multi-query sessions"
+            )
+        self._queries += 1
+        params, t = self.params, self.t
+        snd = Sender(
+            params, oprf=None, rng=self.rng, oprf_factory=self._oprf_factory
+        )
+        t0 = time.perf_counter()
+        req = snd.create_query(items)
+        timings["create_query"] = time.perf_counter() - t0
+
+        meta = {
+            "power_list": [int(x) for x in req.power_list],
+            "peqt": peqt,
+            "mode": mode,
+            "has_rk": req.relin_key is not None,
+        }
+        mark = t.bytes_sent
+        t.send_op(OP_QUERY, json.dumps(meta).encode())
+        # seed-compressed upload: c0 residues + 32-byte a seed, ksk[:, 0] +
+        # 32-byte seed for the relin key
+        t.send_op(
+            OP_QUERY_DATA, np.ascontiguousarray(jax.device_get(req.powers_data)[:, :, 0])
+        )
+        t.send_op(OP_QUERY_DATA, req.a_seed)
+        if req.relin_key is not None:
+            t.send_op(
+                OP_QUERY_DATA, np.ascontiguousarray(jax.device_get(req.relin_key)[:, 0])
+            )
+            t.send_op(OP_QUERY_DATA, req.rk_seed)
+        timings["query_upload_bytes"] = t.bytes_sent - mark
+
+        mark = t.bytes_received
+        rmeta = t.expect(OP_RESPONSE)
+        packed = t.expect(OP_RESULT)
+        timings["result_bytes"] = t.bytes_received - mark
+        eval_level = int(rmeta[0])
+        shape = tuple(int(x) for x in rmeta[1:])
+        results = unpack_residues(packed, snd.bfv.levels[eval_level].primes, shape)
+        t0 = time.perf_counter()
+        mat = snd.extract_matrix(QueryResponse(results, eval_level))
+        timings["decrypt"] = time.perf_counter() - t0
+
+        blocks = felts_to_blocks(
+            snd.peqt_matrix(mat), params.item_bit_count_per_felt
+        )
+        if payloads is None:
+            payload_by_slot = (
+                np.ascontiguousarray(snd.cuckoo.table).view(np.uint8).reshape(-1, 16)
+            )
+        else:
+            payload_by_slot = np.zeros(
+                (params.table_params.table_size, payloads.shape[1]), np.uint8
+            )
+            idx = snd.cuckoo.item_index
+            payload_by_slot[snd.cuckoo.filled] = payloads[idx[snd.cuckoo.filled]]
+        eg = t.scoped(OP_ENDGAME)
+        t0 = time.perf_counter()
+        if mode == "union":
+            endgame_query_side(
+                eg, blocks, payload_by_slot, snd.cuckoo.filled, self.rng, peqt=peqt
+            )
+        else:
+            vals = np.zeros(params.table_params.table_size, dtype=np.uint64)
+            if mode == "cardsum":
+                if values is None:
+                    raise ValueError("cardsum mode needs per-item values")
+                idx = snd.cuckoo.item_index
+                vals[snd.cuckoo.filled] = values[idx[snd.cuckoo.filled]]
+            cardsum_query_side(eg, blocks, vals, snd.cuckoo.filled, self.rng, peqt=peqt)
+        timings["endgame"] = time.perf_counter() - t0
+
+    def close(self) -> None:
+        self.t.send_op(OP_BYE, b"")
 
 
 def run_query_party(
@@ -46,73 +200,116 @@ def run_query_party(
     peqt: str = "ddh",
     mode: str = "union",
     values: Optional[np.ndarray] = None,
+    oprf: str = "kkrt",
 ) -> PSUParams:
-    """The small-set party.  mode: "union" (transfer X∖Y), "card"
-    (cardinality only) or "cardsum" (cardinality + sum of per-item values,
-    the reference's CARD/CARDSUM compile-time flags at common/apsu/log.h:
-    11-14 folded into runtime config).  Returns the params used.
-
-    rng sources all of this party's secret material; None means an
+    """The small-set party, single query.  mode: "union" (transfer X∖Y),
+    "card" or "cardsum" (the reference's CARD/CARDSUM compile-time flags at
+    common/apsu/log.h:11-14 folded into runtime config).  Returns the params
+    used.  rng sources all of this party's secret material; None means an
     OS-entropy CsRng (production default)."""
+    client = QueryClient(ch, rng=rng, params=params, oprf=oprf)
+    client.query(
+        items, payloads=payloads, peqt=peqt, mode=mode, values=values,
+        timings=timings,
+    )
+    client.close()
+    return client.params
+
+
+def serve_db_party(
+    ch: Duplex,
+    params: PSUParams,
+    items: np.ndarray,
+    rng=None,
+    timings: Optional[Dict[str, float]] = None,
+    db: Optional[ReceiverDB] = None,
+    max_queries: Optional[int] = 1,
+) -> List[np.ndarray]:
+    """The large-set party: builds (or reuses) the DB, then serves queries
+    until OP_BYE or ``max_queries``.  Returns one transferred-payload array
+    [k_i, W] per union query served.
+
+    The OPRF backend follows the client's handshake: "kkrt" (interactive
+    build, exactly one query per correlation) or "ecdh" (offline build,
+    unlimited queries against the resident cache)."""
     timings = timings if timings is not None else {}
     rng = rng if rng is not None else CsRng()
-    # params handshake: DB side is authoritative (reference RunParams)
-    ch.send(b"params?")
-    params_json = ch.recv().decode()
-    remote = PSUParams.load_json(params_json)
-    if params is not None and params.to_dict() != remote.to_dict():
-        raise ValueError("parameter mismatch with DB party")
-    params = remote
+    t = TypedDuplex(ch)
 
-    snd = Sender(
-        params,
-        oprf=None,
-        rng=rng,
-        oprf_factory=lambda table: KkrtReceiver(ch, table, rng),
-    )
+    hello = json.loads(t.expect(OP_PARAMS_REQ).decode())
+    oprf_kind = hello.get("oprf", "kkrt")
+    t.send_op(OP_PARAMS, params.to_json().encode())
+
     t0 = time.perf_counter()
-    req = snd.create_query(items)
-    timings["create_query"] = time.perf_counter() - t0
+    if db is None:
+        if oprf_kind == "ecdh":
+            oprf = EcdhOprfServer(rng)
+        else:
+            oprf = KkrtSender(
+                t.scoped(OP_OPRF), params.table_params.table_size, rng
+            )
+        db = ReceiverDB(params, oprf)
+        db.set_data(items)
+    timings["db_build"] = time.perf_counter() - t0
+    recv = Receiver(params, db, rng=rng)
 
-    ch.send(jax.device_get(req.powers_data))
-    ch.send(np.asarray(req.power_list, dtype=np.int64))
-    ch.send(jax.device_get(req.relin_key) if req.relin_key is not None else b"none")
+    transferred: List[np.ndarray] = []
+    served = 0
+    while max_queries is None or served < max_queries:
+        try:
+            op, obj = t.recv_any()
+        except (ConnectionError, EOFError):
+            break
+        if op == OP_BYE:
+            break
+        if op == OP_OPRF:
+            # ECDH blind-evaluation round for the next query's cuckoo table
+            if not isinstance(db.oprf, EcdhOprfServer):
+                t.send_error("OPRF round on a non-ECDH session")
+                raise ProtocolError("OPRF round on a non-ECDH session")
+            t.send_op(OP_OPRF, db.oprf.serve_round(np.asarray(obj)))
+            continue
+        if op != OP_QUERY:
+            t.send_error(f"unexpected op {op} (wanted OP_QUERY)")
+            raise ProtocolError(f"unexpected op {op}")
+        if served and oprf_kind != "ecdh":
+            t.send_error("KKRT sessions serve exactly one query")
+            raise ProtocolError("KKRT sessions serve exactly one query")
 
-    results = ch.recv()
-    eval_level = int(ch.recv()[0])
-    t0 = time.perf_counter()
-    mat = snd.extract_matrix(QueryResponse(results, eval_level))
-    timings["decrypt"] = time.perf_counter() - t0
+        meta = json.loads(bytes(obj).decode())
+        plist = tuple(int(x) for x in meta["power_list"])
+        c0 = t.expect(OP_QUERY_DATA)
+        a_seed = bytes(t.expect(OP_QUERY_DATA))
+        if meta["has_rk"]:
+            rk0 = t.expect(OP_QUERY_DATA)
+            rk_seed = bytes(t.expect(OP_QUERY_DATA))
+            rk = recv.bfv.relin_key_from_seed(rk0, rk_seed).ksk
+        else:
+            rk = None
+        powers = recv.bfv.ct_from_seed(c0, a_seed)
+        t0 = time.perf_counter()
+        resp = recv.run_query(
+            QueryRequest(power_list=plist, powers_data=powers.data, relin_key=rk)
+        )
+        timings["run_query"] = time.perf_counter() - t0
+        res_np = jax.device_get(resp.results)
+        primes = recv.bfv.levels[resp.eval_level].primes
+        t.send_op(OP_RESPONSE, np.array([resp.eval_level, *res_np.shape], np.int64))
+        t.send_op(OP_RESULT, pack_residues(res_np, primes))
+        timings["result_raw_bytes"] = int(np.asarray(res_np).nbytes)
 
-    blocks = felts_to_blocks(snd.peqt_matrix(mat), params.item_bit_count_per_felt)
-    if payloads is None:
-        payload_by_slot = (
-            np.ascontiguousarray(snd.cuckoo.table).view(np.uint8).reshape(-1, 16)
+        blocks = felts_to_blocks(
+            recv.peqt_matrix(), params.item_bit_count_per_felt
         )
-    else:
-        payload_by_slot = np.zeros(
-            (params.table_params.table_size, payloads.shape[1]), np.uint8
-        )
-        idx = snd.cuckoo.item_index
-        payload_by_slot[snd.cuckoo.filled] = payloads[idx[snd.cuckoo.filled]]
-    ch.send(f"{peqt}:{mode}".encode())
-    t0 = time.perf_counter()
-    if mode == "union":
-        endgame_query_side(
-            ch, blocks, payload_by_slot, snd.cuckoo.filled, rng, peqt=peqt
-        )
-    else:
-        vals = np.zeros(params.table_params.table_size, dtype=np.uint64)
-        if mode == "cardsum":
-            if values is None:
-                raise ValueError("cardsum mode needs per-item values")
-            idx = snd.cuckoo.item_index
-            vals[snd.cuckoo.filled] = values[idx[snd.cuckoo.filled]]
-        cardsum_query_side(
-            ch, blocks, vals, snd.cuckoo.filled, rng, peqt=peqt
-        )
-    timings["endgame"] = time.perf_counter() - t0
-    return params
+        eg = t.scoped(OP_ENDGAME)
+        t0 = time.perf_counter()
+        if meta["mode"] == "union":
+            transferred.append(endgame_db_side(eg, blocks, rng, peqt=meta["peqt"]))
+        else:
+            transferred.append(cardsum_db_side(eg, blocks, rng, peqt=meta["peqt"]))
+        timings["endgame"] = time.perf_counter() - t0
+        served += 1
+    return transferred
 
 
 def run_db_party(
@@ -122,40 +319,13 @@ def run_db_party(
     rng=None,
     timings: Optional[Dict[str, float]] = None,
     db: Optional[ReceiverDB] = None,
-) -> np.ndarray:
-    """The large-set party: serves one query, returns transferred payloads
-    [k, 16] uint8 (the difference set X∖Y)."""
-    timings = timings if timings is not None else {}
-    rng = rng if rng is not None else CsRng()
-    assert ch.recv() == b"params?"
-    ch.send(params.to_json().encode())
-
-    t0 = time.perf_counter()
-    oprf = KkrtSender(ch, params.table_params.table_size, rng)
-    if db is None:
-        db = ReceiverDB(params, oprf)
-        db.set_data(items)
-    timings["db_build"] = time.perf_counter() - t0
-    recv = Receiver(params, db, rng=rng)
-
-    powers_data = ch.recv()
-    plist = tuple(int(x) for x in ch.recv())
-    rk = ch.recv()
-    rk = None if isinstance(rk, bytes) else jnp.asarray(rk)
-    t0 = time.perf_counter()
-    resp = recv.run_query(
-        QueryRequest(power_list=plist, powers_data=jnp.asarray(powers_data), relin_key=rk)
+):
+    """Single-query DB party (the reference dispatcher's behavior).  Returns
+    transferred payloads [k, W] uint8 (the difference set X∖Y), or the
+    (card, sum) tuple in cardsum mode."""
+    out = serve_db_party(
+        ch, params, items, rng=rng, timings=timings, db=db, max_queries=1
     )
-    timings["run_query"] = time.perf_counter() - t0
-    ch.send(jax.device_get(resp.results))
-    ch.send(np.array([resp.eval_level], dtype=np.int64))
-
-    blocks = felts_to_blocks(recv.peqt_matrix(), params.item_bit_count_per_felt)
-    peqt, mode = ch.recv().decode().split(":")
-    t0 = time.perf_counter()
-    if mode == "union":
-        result = endgame_db_side(ch, blocks, rng, peqt=peqt)
-    else:
-        result = cardsum_db_side(ch, blocks, rng, peqt=peqt)  # (card, sum)
-    timings["endgame"] = time.perf_counter() - t0
-    return result
+    if not out:
+        raise ProtocolError("client disconnected before querying")
+    return out[0]

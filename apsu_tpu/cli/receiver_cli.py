@@ -35,6 +35,12 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=1212)
     ap.add_argument("--bind", default="0.0.0.0")
     ap.add_argument("--out", default="union.csv")
+    ap.add_argument(
+        "--serve", type=int, default=1, metavar="N",
+        help="serve N queries from one connection before exiting (0 = until "
+        "the client disconnects); N != 1 requires the client to use "
+        "--oprf ecdh (resident-server mode)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-level", default="info")
     ap.add_argument("--log-file", default=None)
@@ -49,7 +55,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    from apsu_tpu.api.session import run_db_party
+    from apsu_tpu.api.session import serve_db_party
     from apsu_tpu.cli.csv_io import decode_payloads, load_csv, write_union_csv
     from apsu_tpu.core.params import PSUParams
     from apsu_tpu.mpc.duplex import SocketDuplex
@@ -67,11 +73,15 @@ def main(argv=None):
     rng = _make_rng(args.seed)
     timings = {}
     with GLOBAL.span("serve_query"):
-        transferred = run_db_party(ch, params, items, rng, timings=timings)
-    union = sorted(set(strings) | set(decode_payloads(transferred)))
+        per_query = serve_db_party(
+            ch, params, items, rng, timings=timings,
+            max_queries=args.serve if args.serve > 0 else None,
+        )
+    new_payloads = [p for q in per_query for p in decode_payloads(q)]
+    union = sorted(set(strings) | set(new_payloads))
     write_union_csv(args.out, union)
-    log.info("union: %d items -> %s (received %d new)", len(union), args.out,
-             len(transferred))
+    log.info("union: %d items -> %s (%d queries, received %d new)", len(union),
+             args.out, len(per_query), len(new_payloads))
     log.info("timings: %s", {k: round(v, 3) for k, v in timings.items()})
     log.info("bytes sent=%d received=%d", ch.bytes_sent, ch.bytes_received)
     print(GLOBAL.report(), file=sys.stderr)

@@ -31,6 +31,9 @@ def main(argv=None):
     ap.add_argument("--platform", default=None)
     ap.add_argument("--peqt", default="osn", choices=["osn", "ddh"],
                     help="permuted-equality-test variant (reference default: osn)")
+    ap.add_argument("--oprf", default="kkrt", choices=["kkrt", "ecdh"],
+                    help="OPRF backend: kkrt (one-shot, fastest build) or "
+                    "ecdh (fixed-key; required for multi-query servers)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -56,7 +59,7 @@ def main(argv=None):
     with GLOBAL.span("query"):
         run_query_party(
             ch, items, rng, params=params, payloads=payloads, timings=timings,
-            peqt=args.peqt,
+            peqt=args.peqt, oprf=args.oprf,
         )
     log.info("query complete; timings: %s", {k: round(v, 3) for k, v in timings.items()})
     log.info("bytes sent=%d received=%d", ch.bytes_sent, ch.bytes_received)

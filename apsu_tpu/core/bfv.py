@@ -50,6 +50,26 @@ def _mont(x: int, p: int) -> int:
     return (x << 32) % p
 
 
+def uniform_from_seed(seed: bytes, base: RnsBase, shape_lead=()) -> np.ndarray:
+    """Deterministic uniform residues [..., k, N] from a public 32-byte seed
+    (AES-256-CTR expansion, identical on both parties).
+
+    This is the seed-compression channel of SEAL's Serializable symmetric
+    ciphertexts (/root/reference/common/apsu/seal_object.h:1-226): the
+    uniform ``a`` component of a fresh symmetric ct — and the ``a_i`` rows of
+    relinearization keys — travel as the PRG seed instead of full residue
+    tensors, halving those payloads."""
+    from apsu_tpu.mpc.prg import prg_bytes
+
+    shape = tuple(shape_lead) + (base.k, base.n)
+    total = int(np.prod(shape))
+    u = prg_bytes(seed, 8 * total).view(np.uint64).reshape(shape)
+    out = np.empty(shape, np.uint32)
+    for i, p in enumerate(base.primes):
+        out[..., i, :] = (u[..., i, :] % np.uint64(p)).astype(np.uint32)
+    return out
+
+
 @dataclass
 class Ciphertext:
     data: jnp.ndarray  # [..., k, L, N] uint32 (k components, optional batch)
@@ -257,10 +277,14 @@ class BfvContext:
             out[..., i, :] = rng.integers(0, p, size=shape_lead + (self.n,), dtype=np.uint64)
         return jnp.asarray(out)
 
-    def gen_relin_key(self, sk: SecretKey, rng: np.random.Generator) -> RelinKey:
+    def gen_relin_key(
+        self, sk: SecretKey, rng: np.random.Generator, a_seed: Optional[bytes] = None
+    ) -> RelinKey:
         """ksk_i = (-(a_i·s + e_i) + P·g_i·s², a_i) mod QP, NTT/Montgomery form.
 
         g_i = q̂_i·[q̂_i^{-1}]_{q_i} (integer CRT basis element of q).
+        a_seed: expand the public a_i rows from this seed so the key travels
+        seed-compressed (relin_key_from_seed reconstructs peer-side).
         """
         if self.qp is None:
             raise ValueError("no special prime: relinearization unavailable")
@@ -273,7 +297,10 @@ class BfvContext:
                 np.array([_mont(P * g % p, p) for p in qp.primes], dtype=np.uint32)
             )
         pg_mont = np.stack(pg_monts)[:, :, None]  # [kdig, kqp, 1] host numpy
-        a = self._sample_uniform(rng, qp, shape_lead=(self.q.k,))  # plain coeff
+        if a_seed is not None:
+            a = jnp.asarray(uniform_from_seed(a_seed, qp, (self.q.k,)))
+        else:
+            a = self._sample_uniform(rng, qp, shape_lead=(self.q.k,))  # plain coeff
         e = self._sample_error(rng, qp, shape_lead=(self.q.k,))
 
         def impl(s_ntt, a, e):
@@ -291,21 +318,41 @@ class BfvContext:
         ksk = self._jitted("gen_relin_key", impl)(sk.ntt_mont(qp), a, e)
         return RelinKey(ksk, level=len(self.q_primes))
 
+    def relin_key_from_seed(self, k0, a_seed: bytes) -> RelinKey:
+        """Rebuild a seed-compressed relin key: k0 = ksk[:, 0] rows
+        [kdig, Lqp, N] NTT/mont + the public seed of the a_i rows."""
+        qp = self.qp
+        a = uniform_from_seed(a_seed, qp, (self.q.k,))
+        f = self._jitted(
+            "rk_expand",
+            lambda k0, a: jnp.stack([k0, qp.ntt.ntt(qp.to_mont(a))], axis=1),
+        )
+        return RelinKey(f(jnp.asarray(k0), jnp.asarray(a)), level=len(self.q_primes))
+
     # ------------------------------------------------------------------
     # encrypt / decrypt
     # ------------------------------------------------------------------
     def encrypt_symmetric(
-        self, pt_poly, sk: SecretKey, rng: np.random.Generator
+        self,
+        pt_poly,
+        sk: SecretKey,
+        rng: np.random.Generator,
+        a_seed: Optional[bytes] = None,
     ) -> Ciphertext:
         """pt_poly: [..., N] plaintext polynomial(s) mod t. Fresh full-level ct.
 
         Batched: leading dims of pt_poly produce a batch of ciphertexts with
-        data shape [..., 2, L, N].
+        data shape [..., 2, L, N].  a_seed: derive the uniform a component
+        from this public seed (seed-compressed symmetric ciphertext — the
+        wire then carries c0 + seed; ct_from_seed reconstructs peer-side).
         """
         q = self.q
         pt = jnp.asarray(pt_poly, jnp.uint32)
         lead = pt.shape[:-1]
-        a = self._sample_uniform(rng, q, shape_lead=lead)
+        if a_seed is not None:
+            a = jnp.asarray(uniform_from_seed(a_seed, q, lead))
+        else:
+            a = self._sample_uniform(rng, q, shape_lead=lead)
         e = self._sample_error(rng, q, shape_lead=lead)
 
         def impl(pt, a, e, s_ntt):
@@ -319,6 +366,13 @@ class BfvContext:
 
         data = self._jitted("encrypt", impl)(pt, a, e, sk.ntt_mont(q))
         return Ciphertext(data, is_ntt=False, level=q.k)
+
+    def ct_from_seed(self, c0: np.ndarray, a_seed: bytes) -> Ciphertext:
+        """Reconstruct seed-compressed fresh symmetric ciphertexts:
+        c0 [..., L, N] plain coeff residues + the public a seed."""
+        a = uniform_from_seed(a_seed, self.q, tuple(c0.shape[:-2]))
+        data = np.stack([np.asarray(c0), a], axis=-3)  # [..., 2, L, N]
+        return Ciphertext(jnp.asarray(data), is_ntt=False, level=self.q.k)
 
     def decrypt_device(self, ct: Ciphertext, sk: SecretKey) -> jnp.ndarray:
         """Fully device-resident decryption via the BEHZ {t, γ} scale-and-

@@ -1,0 +1,96 @@
+"""Resident serve loop: one DB server, multiple sequential queries
+(VERDICT round 1, next #6).  The ECDH OPRF backend makes the DB build
+offline and the preprocessed cache reusable across queries; the second and
+third query must skip the build entirely."""
+
+import threading
+
+import numpy as np
+
+from apsu_tpu.api.session import QueryClient, serve_db_party
+from apsu_tpu.mpc.duplex import pipe_pair
+from apsu_tpu.mpc.prg import CsRng
+from tests.test_psu_e2e import as_set, make_sets, small_params
+
+
+def test_three_queries_one_server():
+    rng = np.random.default_rng(21)
+    params = small_params()
+    db_items = rng.integers(0, 1 << 64, size=(250, 2), dtype=np.uint64)
+    queries = []
+    for _ in range(3):
+        fresh = rng.integers(0, 1 << 64, size=(20, 2), dtype=np.uint64)
+        common = db_items[rng.choice(250, size=10, replace=False)]
+        queries.append(np.concatenate([fresh, common]))
+
+    ch_q, ch_db = pipe_pair()
+    out = {}
+    errs = []
+    timings = {}
+
+    def server():
+        try:
+            out["per_query"] = serve_db_party(
+                ch_db, params, db_items, CsRng(b"serve-loop-test-db-0001"),
+                timings=timings, max_queries=None,
+            )
+        except Exception as e:
+            errs.append(e)
+
+    def client():
+        try:
+            c = QueryClient(ch_q, rng=CsRng(b"serve-loop-test-cli-0001"),
+                            params=params, oprf="ecdh")
+            for q in queries:
+                c.query(q)
+            c.close()
+        except Exception as e:
+            errs.append(e)
+
+    ts, tc = threading.Thread(target=server), threading.Thread(target=client)
+    ts.start(); tc.start(); ts.join(); tc.join()
+    if errs:
+        raise errs[0]
+
+    per_query = out["per_query"]
+    assert len(per_query) == 3
+    dbs = as_set(db_items)
+    for q, got in zip(queries, per_query):
+        trans = as_set(
+            np.ascontiguousarray(got).view(np.uint64).reshape(-1, 2)
+        )
+        assert trans == as_set(q) - dbs
+
+
+def test_kkrt_session_refuses_second_query():
+    import pytest
+
+    from apsu_tpu.net.wire import ProtocolError
+
+    rng = np.random.default_rng(22)
+    params = small_params()
+    db_items, q1 = make_sets(rng, 200, 25, 8)
+
+    ch_q, ch_db = pipe_pair()
+    errs = []
+
+    def server():
+        try:
+            serve_db_party(
+                ch_db, params, db_items, CsRng(b"kkrt-refuse-test-db-0001"),
+                max_queries=None,
+            )
+        except Exception as e:
+            errs.append(e)
+
+    t = threading.Thread(target=server)
+    t.start()
+    c = QueryClient(ch_q, rng=CsRng(b"kkrt-refuse-test-cli-001"),
+                    params=params, oprf="kkrt")
+    c.query(q1)
+    with pytest.raises(ProtocolError, match="single-query"):
+        c.query(q1)
+    c.close()
+    t.join()
+    if errs:
+        raise errs[0]
