@@ -1,40 +1,73 @@
-"""Multi-chip sharded query runtime.
+"""Multi-chip sharded query runtime — the FULL production path.
 
 Scales the DB party across a ``jax.sharding.Mesh`` along the protocol's two
-native work axes (SURVEY §2.7 P2/P3 → C4): bundle indices and caches.  The
-coefficient cache shards on the (bundle × cache) product axis; query-power
-ciphertexts replicate (they are small); every chip evaluates its cache
-shard's matching polynomials locally and the result packages all-gather at
-the end (a concat, not a reduction — SURVEY §5).
+native work axes (SURVEY §2.7 P2/P3 → C4), matching the reference's
+parallel structure (receiver_osn.cpp:320-359: per-bundle power computation,
+per-(bundle, cache) BinBundle evaluation fanned out to threads — here to
+chips):
+
+* **Eval stage** (non-PS and Paterson-Stockmeyer): the coefficient cache
+  [B, C, planes, L, N] flattens to rows on the (bundle × cache) product axis
+  and shards; each chip evaluates its rows with the SAME kernels as the
+  single-device evaluator — the Pallas lazy-reduction dot product on TPU
+  (ops/polyeval.py) under ``shard_map``, the fori_loop fallback elsewhere.
+  Results stay sharded until one all-gather at the end (a concat, not a
+  reduction — SURVEY §5).
+* **Power wavefront**: each schedule level is one batched BEHZ multiply +
+  relinearize over the level's (target × bundle) products, sharded on that
+  flattened product axis (the reference's PowersDag parallel_apply, P4).
+
+Every sharded op is element-for-element the single-device computation
+(modular arithmetic is exact, addition order preserved), so results are
+bit-identical to ``Receiver.run_query`` — asserted by tests/test_sharded.py
+and the driver's ``dryrun_multichip``.
 
 On the single-chip dev box this runs under a virtual CPU mesh
 (xla_force_host_platform_device_count); the same code drives real v5p/v5e
-slices — shardings are expressed as NamedSharding constraints and XLA
-inserts the ICI collectives.
+slices — XLA inserts the ICI collectives.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import functools
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from apsu_tpu.core.bfv import BfvContext, Ciphertext
+try:  # jax >= 0.4.35 moved shard_map to the top level
+    from jax import shard_map as _shard_map_mod  # type: ignore
+
+    shard_map = _shard_map_mod.shard_map if hasattr(_shard_map_mod, "shard_map") else _shard_map_mod
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from apsu_tpu.api.parties import QueryRequest, QueryResponse, Receiver
+from apsu_tpu.core.bfv import BfvContext, Ciphertext, RelinKey
 from apsu_tpu.core.mod32 import add_mod, mont_mul
 from apsu_tpu.db.receiver_db import ReceiverDB
+from apsu_tpu.engine.powers import PowerSchedule
+from apsu_tpu.ops.polyeval import DEG_CHUNK, eval_dot_pallas
+
+
+def _use_pallas_shard(bfv: BfvContext, level: int) -> bool:
+    import os
+
+    if jax.default_backend() == "cpu" and not os.environ.get("APSU_PALLAS_INTERPRET"):
+        return False
+    return all(p < (1 << 28) for p in bfv.levels[level].primes)
 
 
 class ShardedEvaluator:
     """Shards a built ReceiverDB's cache over a mesh and evaluates queries.
 
-    The cache [B, C, Dp, L, N] is reshaped to [B·C, Dp, L, N] and sharded on
-    axis 0; bundles-with-fewer-caches hold all-one polynomials (never match)
-    so the rectangular shard layout is exact.  Non-PS query path only for
-    now; the PS pipeline shards the same way (per-(bundle, cache) chunks are
-    already independent) and lands next round.
+    The cache [B, C, planes, L, N] is reshaped to [B·C, planes, L, N] and
+    sharded on axis 0 (rows padded with zero caches to a device multiple —
+    zero polynomials never match and are dropped after the gather).  Both
+    query paths are covered; PS configs additionally shard the chunk-constant
+    polynomials the same way.
     """
 
     def __init__(self, db: ReceiverDB, mesh: Mesh, axis: str = "bundle"):
@@ -45,42 +78,166 @@ class ShardedEvaluator:
         B, C = db.coeff_cache.shape[0], db.coeff_cache.shape[1]
         self.B, self.C = B, C
         n_dev = mesh.devices.size
-        if (B * C) % n_dev != 0:
-            # pad the cache axis with never-matching (zero-polynomial) caches
-            pad = n_dev - (B * C) % n_dev
-        else:
-            pad = 0
+        self.n_dev = n_dev
+        pad = (-(B * C)) % n_dev
         self.pad = pad
+        self.rows = B * C + pad
+
+        shard = NamedSharding(mesh, P(axis))
         flat = db.coeff_cache.reshape((B * C,) + db.coeff_cache.shape[2:])
-        consts = db.const_slots.reshape(B * C, -1)
         if pad:
             flat = jnp.concatenate(
                 [flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)]
             )
-            ones = jnp.ones((pad, consts.shape[1]), consts.dtype)
-            consts = jnp.concatenate([consts, ones])
-        shard = NamedSharding(mesh, P(axis))
-        self.cache = jax.device_put(flat, shard)          # [(BC+pad), Dp, L, N]
-        self.const_slots = jax.device_put(consts, shard)  # [(BC+pad), N]
+        self.cache = jax.device_put(flat, shard)          # [rows, planes, L, N]
+
+        self.uses_ps = db.ps_const_polys is not None
+        if self.uses_ps:
+            pc = db.ps_const_polys.reshape((B * C,) + db.ps_const_polys.shape[2:])
+            if pad:
+                pc = jnp.concatenate(
+                    [pc, jnp.zeros((pad,) + pc.shape[1:], pc.dtype)]
+                )
+            self.ps_consts = jax.device_put(pc, shard)    # [rows, nh+1, N]
+            self.const_slots = None
+        else:
+            consts = db.const_slots.reshape(B * C, -1)
+            if pad:
+                consts = jnp.concatenate(
+                    [consts, jnp.zeros((pad, consts.shape[1]), consts.dtype)]
+                )
+            self.const_slots = jax.device_put(consts, shard)  # [rows, N]
+            self.ps_consts = None
         self.repl = NamedSharding(mesh, P())
 
+    # ------------------------------------------------------------------
+    # power wavefront (reference ComputePowers / PowersDag parallel_apply)
+    # ------------------------------------------------------------------
+    def _run_schedule(
+        self,
+        have: Dict[int, Ciphertext],
+        schedule: PowerSchedule,
+        relin_key: Optional[RelinKey],
+    ) -> Dict[int, Ciphertext]:
+        """Level-synchronous wavefront with each level's (target × bundle)
+        products flattened and sharded across the mesh.  Element-for-element
+        the single-device _run_schedule (engine/evaluator.py)."""
+        bfv = self.bfv
+        k = bfv.q.k
+        shard = NamedSharding(self.mesh, P(self.axis))
+        for level in schedule.levels:
+            if relin_key is None:
+                raise ValueError("power schedule requires relinearization keys")
+            G = len(level)
+            lhs = jnp.stack([have[a].data for (_, a, _) in level])  # [G, B, 2, L, N]
+            rhs = jnp.stack([have[b].data for (_, _, b) in level])
+            Bq = lhs.shape[1]
+            flat_l = lhs.reshape((G * Bq,) + lhs.shape[2:])
+            flat_r = rhs.reshape((G * Bq,) + rhs.shape[2:])
+            rpad = (-(G * Bq)) % self.n_dev
+            if rpad:
+                z = jnp.zeros((rpad,) + flat_l.shape[1:], flat_l.dtype)
+                flat_l = jnp.concatenate([flat_l, z])
+                flat_r = jnp.concatenate([flat_r, z])
+            flat_l = jax.device_put(flat_l, shard)
+            flat_r = jax.device_put(flat_r, shard)
+            prod = bfv.multiply(
+                Ciphertext(flat_l, is_ntt=False, level=k),
+                Ciphertext(flat_r, is_ntt=False, level=k),
+            )
+            rel = bfv.relinearize(prod, relin_key)
+            data = rel.data[: G * Bq].reshape((G, Bq) + rel.data.shape[1:])
+            for i, (tgt, _, _) in enumerate(level):
+                have[tgt] = Ciphertext(data[i], is_ntt=False, level=k)
+        return have
+
+    def compute_power_tensor(
+        self,
+        source_cts: Dict[int, Ciphertext],
+        schedule: PowerSchedule,
+        relin_key: Optional[RelinKey],
+        eval_level: int,
+    ) -> jnp.ndarray:
+        """Sharded analogue of engine.evaluator.compute_power_tensor."""
+        bfv = self.bfv
+        have = self._run_schedule(dict(source_cts), schedule, relin_key)
+        stack = jnp.stack([have[p].data for p in range(1, schedule.max_power + 1)])
+        k = bfv.q.k
+        switched = bfv.mod_switch_to(
+            Ciphertext(stack, is_ntt=False, level=k), eval_level
+        )
+        return bfv.to_ntt(switched).data
+
+    def compute_ps_power_tensors(self, source_cts, plan, relin_key, eval_level):
+        """Sharded analogue of engine.evaluator.compute_ps_power_tensors."""
+        bfv = self.bfv
+        ph = plan.ps_low_degree + 1
+        low_src = {s: ct for s, ct in source_cts.items() if s <= plan.ps_low_degree}
+        high_src = {s // ph: ct for s, ct in source_cts.items() if s > plan.ps_low_degree}
+        low = self._run_schedule(low_src, plan.low, relin_key)
+        high = self._run_schedule(high_src, plan.high, relin_key)
+        k = bfv.q.k
+        lvl = eval_level or k
+        low_stack = jnp.stack([low[p].data for p in range(1, plan.low.max_power + 1)])
+        high_stack = jnp.stack([high[p].data for p in range(1, plan.high.max_power + 1)])
+        low_sw = bfv.mod_switch_to(Ciphertext(low_stack, is_ntt=False, level=k), lvl)
+        high_sw = bfv.mod_switch_to(Ciphertext(high_stack, is_ntt=False, level=k), lvl)
+        return bfv.to_ntt(low_sw).data, high_sw.data
+
+    # ------------------------------------------------------------------
+    # eval stage, non-PS
+    # ------------------------------------------------------------------
     def eval_query(self, powers_ntt, mask_slots, eval_level: int) -> jnp.ndarray:
         """powers_ntt: [B, D, 2, Le, N] replicated; mask_slots [B, C, N].
-        Returns result ct data [B, C, 2, Le, N] (replicated/gathered)."""
+        Returns result ct data [B, C, 2, Le, N] (gathered)."""
         base = self.bfv.levels[eval_level]
         bfv = self.bfv
-        B, C, pad = self.B, self.C, self.pad
+        B, C, pad, rows = self.B, self.C, self.pad, self.rows
         t = np.uint32(bfv.t)
+        Dp = self.cache.shape[1]
+        D = powers_ntt.shape[1]
+        N = self.cache.shape[-1]
+        R = rows // self.n_dev  # rows per shard
+        use_pallas = _use_pallas_shard(bfv, eval_level)
+        consts = np.stack(
+            [np.asarray(base.p_d).ravel(), np.asarray(base.pni_d).ravel()]
+        )
 
-        def impl(cache, consts, powers, mask):
-            D = powers.shape[1]
-            Dp = cache.shape[1]
-            BC = cache.shape[0]
-            N = cache.shape[-1]
-            # per-shard-row bundle index selects the matching power batch
-            bundle_of = (
-                jnp.arange(BC, dtype=jnp.int32) // C
-            ).clip(0, B - 1)
+        import os
+
+        interp = jax.default_backend() == "cpu" and bool(
+            os.environ.get("APSU_PALLAS_INTERPRET")
+        )
+
+        def per_shard(cache_rows, const_rows, mask_rows, pw_full):
+            # global row ids of this shard -> bundle index per row
+            shard_i = jax.lax.axis_index(self.axis)
+            row0 = shard_i * R
+            bundle_of = ((row0 + jnp.arange(R, dtype=jnp.int32)) // C).clip(0, B - 1)
+            pw_rows = pw_full[bundle_of]  # [R, Dp, 2, L, N]
+            if use_pallas:
+                acc = eval_dot_pallas(
+                    pw_rows, cache_rows[:, None], consts[0], consts[1],
+                    interpret=interp,
+                )[:, 0]  # [R, 2, L, N]
+            else:
+                def body(j, acc):
+                    a = jax.lax.dynamic_index_in_dim(pw_rows, j, axis=1, keepdims=False)
+                    b = jax.lax.dynamic_index_in_dim(cache_rows, j, axis=1, keepdims=False)
+                    return add_mod(
+                        acc, mont_mul(a, b[:, None], base.p_d, base.pni_d), base.p_d
+                    )
+
+                acc = jax.lax.fori_loop(
+                    0, Dp, body, jnp.zeros((R, 2, base.k, N), jnp.uint32)
+                )
+            acc = base.from_mont(base.ntt.intt(acc))
+            cms = add_mod(const_rows, mask_rows, t)
+            dm = bfv._scale_impl(bfv.encode(cms), eval_level)
+            return acc.at[:, 0].set(add_mod(acc[:, 0], dm, base.p_d))
+
+        def impl(cache, consts_s, mask, powers):
+            # align powers with the cache's plane layout (plane 0 + pad zero)
             pw = jnp.concatenate(
                 [
                     jnp.zeros((B, 1, 2, base.k, N), jnp.uint32),
@@ -89,41 +246,190 @@ class ShardedEvaluator:
                 ],
                 axis=1,
             )
-            pw_rows = pw[bundle_of]  # [BC, Dp, 2, L, N]
-
-            def body(j, acc):
-                a = jax.lax.dynamic_index_in_dim(pw_rows, j, axis=1, keepdims=False)
-                b = jax.lax.dynamic_index_in_dim(cache, j, axis=1, keepdims=False)
-                return add_mod(
-                    acc, mont_mul(a, b[:, None], base.p_d, base.pni_d), base.p_d
-                )
-
-            acc = jax.lax.fori_loop(
-                0, Dp, body, jnp.zeros((BC, 2, base.k, N), jnp.uint32)
-            )
-            acc = base.from_mont(base.ntt.intt(acc))
             maskf = mask.reshape(B * C, -1)
             if pad:
                 maskf = jnp.concatenate(
                     [maskf, jnp.zeros((pad, maskf.shape[1]), maskf.dtype)]
                 )
-            cms = add_mod(consts, maskf, t)
-            dm = bfv._scale_impl(bfv.encode(cms), eval_level)
-            acc = acc.at[:, 0].set(add_mod(acc[:, 0], dm, base.p_d))
-            return acc[: B * C].reshape(B, C, 2, base.k, acc.shape[-1])
+            rows_out = shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(P(self.axis), P(self.axis), P(self.axis), P()),
+                out_specs=P(self.axis),
+                check_vma=False,
+            )(cache, consts_s, maskf, pw)
+            return rows_out[: B * C].reshape(B, C, 2, base.k, N)
 
-        f = bfv._jitted(
-            ("sharded_eval", eval_level, id(self.mesh)),
-            jax.jit(
-                impl,
-                in_shardings=(
-                    NamedSharding(self.mesh, P(self.axis)),
-                    NamedSharding(self.mesh, P(self.axis)),
-                    self.repl,
-                    self.repl,
-                ),
-                out_shardings=self.repl,  # all-gather of result packages
-            ),
+        f = self.bfv._jitted(
+            ("sharded_eval", eval_level, id(self.mesh), use_pallas),
+            jax.jit(impl, out_shardings=self.repl),
         )
         with self.mesh:
-            return f(self.cache, self.const_slots, powers_ntt, mask_slots)
+            return f(self.cache, self.const_slots, mask_slots, powers_ntt)
+
+    # ------------------------------------------------------------------
+    # eval stage, Paterson-Stockmeyer
+    # ------------------------------------------------------------------
+    def eval_query_ps(
+        self,
+        low_powers_ntt,      # [B, ℓ, 2, L, N] NTT mont, replicated
+        high_powers_coeff,   # [B, nh, 2, L, N] coeff plain, replicated
+        mask_slots,          # [B, C, N]
+        relin_key: RelinKey,
+        ps_low_degree: int,
+        result_level: int,
+        max_degree: int,
+        eval_level: int,
+    ) -> jnp.ndarray:
+        """Sharded PS evaluation over the flattened (bundle × cache) rows:
+        inner dot products, batched BEHZ outer products, k-sum, one
+        relinearization, mod-switch, mask — all shard-local, one gather.
+        Mirrors engine.evaluator.eval_matching_polys_ps element-for-element.
+        """
+        bfv = self.bfv
+        lvl = eval_level
+        q = bfv.levels[lvl]
+        ph = ps_low_degree + 1
+        B, C, pad = self.B, self.C, self.pad
+        K = max_degree
+        nh = K // ph
+        N = self.cache.shape[-1]
+        ell = low_powers_ntt.shape[1]
+        assert ell == ps_low_degree
+        assert self.cache.shape[1] >= nh * ph + ell + 1
+        R = self.rows // self.n_dev
+        shard = NamedSharding(self.mesh, P(self.axis))
+
+        def per_shard(cache_rows, const_rows, mask_rows, low_full, high_full, ksk):
+            shard_i = jax.lax.axis_index(self.axis)
+            row0 = shard_i * R
+            bundle_of = ((row0 + jnp.arange(R, dtype=jnp.int32)) // C).clip(0, B - 1)
+            low_rows = low_full[bundle_of]    # [R, ℓ, 2, L, N]
+            high_rows = high_full[bundle_of]  # [R, nh, 2, L, N]
+
+            base_idx = jnp.arange(nh + 1, dtype=jnp.int32) * ph
+
+            def body(i, acc):
+                pw = jax.lax.dynamic_index_in_dim(low_rows, i - 1, axis=1, keepdims=False)
+                pt = jnp.take(cache_rows, base_idx + i, axis=1)  # [R, nh+1, L, N]
+                term = mont_mul(
+                    pw[:, None, :, :, :], pt[:, :, None, :, :], q.p_d, q.pni_d
+                )  # [R, nh+1, 2, L, N]
+                return add_mod(acc, term, q.p_d)
+
+            acc = jax.lax.fori_loop(
+                1, ell + 1, body,
+                jnp.zeros((R, nh + 1, 2, q.k, N), jnp.uint32),
+            )
+            acc = q.from_mont(q.ntt.intt(acc))          # coeff plain
+            dm = bfv._scale_impl(const_rows, lvl)       # [R, nh+1, L, N]
+            c0 = add_mod(acc[..., 0, :, :], dm, q.p_d)
+            inner = acc.at[..., 0, :, :].set(c0)        # [R, nh+1, 2, L, N]
+
+            lhs = inner[:, 1:]                          # [R, nh, 2, L, N]
+            prod3 = bfv.multiply(
+                Ciphertext(lhs, is_ntt=False, level=lvl),
+                Ciphertext(high_rows, is_ntt=False, level=lvl),
+            ).data                                      # [R, nh, 3, L, N]
+
+            def ksum(kk, a):
+                return add_mod(
+                    a,
+                    jax.lax.dynamic_index_in_dim(prod3, kk, axis=1, keepdims=False),
+                    q.p_d,
+                )
+
+            tot = jax.lax.fori_loop(1, nh, ksum, prod3[:, 0])  # [R, 3, L, N]
+            tot = tot.at[:, :2].set(add_mod(tot[:, :2], inner[:, 0], q.p_d))
+            rel = bfv.relinearize(
+                Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, lvl)
+            )
+            sw = bfv.mod_switch_to(rel, result_level)   # [R, 2, Lr, N]
+            rbase = bfv.levels[result_level]
+            dm2 = bfv._scale_impl(bfv.encode(mask_rows), result_level)
+            out = sw.data.at[:, 0].set(add_mod(sw.data[:, 0], dm2, rbase.p_d))
+            return out
+
+        def impl(cache, consts_s, mask, low_full, high_full, ksk):
+            maskf = mask.reshape(B * C, -1)
+            if pad:
+                maskf = jnp.concatenate(
+                    [maskf, jnp.zeros((pad, maskf.shape[1]), maskf.dtype)]
+                )
+            rows_out = shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(P(self.axis), P(self.axis), P(self.axis), P(), P(), P()),
+                out_specs=P(self.axis),
+                check_vma=False,
+            )(cache, consts_s, maskf, low_full, high_full, ksk)
+            rbase = bfv.levels[result_level]
+            return rows_out[: B * C].reshape(B, C, 2, rbase.k, N)
+
+        f = self.bfv._jitted(
+            ("sharded_eval_ps", lvl, result_level, id(self.mesh), nh, ell),
+            jax.jit(impl, out_shardings=self.repl),
+        )
+        with self.mesh:
+            return f(
+                self.cache,
+                self.ps_consts,
+                mask_slots,
+                low_powers_ntt,
+                high_powers_coeff,
+                relin_key.ksk,
+            )
+
+
+class ShardedReceiver(Receiver):
+    """DB party whose full query path runs sharded over a mesh — the
+    drop-in multi-chip Receiver (same wire behavior, bit-identical
+    responses)."""
+
+    def __init__(self, params, db: ReceiverDB, mesh: Mesh, rng=None):
+        super().__init__(params, db, rng=rng)
+        self.evaluator = ShardedEvaluator(db, mesh)
+
+    def run_query(self, req: QueryRequest) -> QueryResponse:
+        p = self.params
+        k = self.bfv.q.k
+        self.validate_query(req)
+        cts = {
+            s: Ciphertext(req.powers_data[i], is_ntt=False, level=k)
+            for i, s in enumerate(req.power_list)
+        }
+        rk = (
+            RelinKey(jnp.asarray(req.relin_key), k)
+            if req.relin_key is not None
+            else None
+        )
+        C = self.db.coeff_cache.shape[1]
+        B, N = p.bundle_idx_count, p.poly_degree
+        t = p.seal_params.plain_modulus
+        mask = self.rng.integers(0, t, size=(B, C, N), dtype=np.uint64).astype(
+            np.uint32
+        )
+        self.last_mask = mask
+        ev = self.evaluator
+
+        if self.plan.uses_ps:
+            low_ntt, high_coeff = ev.compute_ps_power_tensors(
+                cts, self.plan, rk, self.db.eval_lvl
+            )
+            res = ev.eval_query_ps(
+                jnp.moveaxis(low_ntt, 0, 1),
+                jnp.moveaxis(high_coeff, 0, 1),
+                jnp.asarray(mask),
+                rk,
+                p.query_params.ps_low_degree,
+                self.db.result_lvl,
+                p.table_params.max_items_per_bin,
+                self.db.eval_lvl,
+            )
+            return QueryResponse(results=res, eval_level=self.db.result_lvl)
+
+        powers = ev.compute_power_tensor(cts, self.plan.low, rk, self.db.eval_lvl)
+        res = ev.eval_query(
+            jnp.moveaxis(powers, 0, 1), jnp.asarray(mask), self.db.eval_lvl
+        )
+        return QueryResponse(results=res, eval_level=self.db.eval_lvl)
