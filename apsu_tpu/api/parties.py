@@ -24,6 +24,7 @@ from apsu_tpu.engine.evaluator import (
     compute_power_tensor,
     compute_ps_power_tensors,
     eval_matching_polys,
+    eval_matching_polys_labeled,
     eval_matching_polys_ps,
 )
 from apsu_tpu.engine.powers import plan_query
@@ -61,6 +62,7 @@ class QueryResponse:
 
     results: np.ndarray                  # [B, C, 2, Le, N] coeff-domain ct
     eval_level: int
+    label_results: Optional[np.ndarray] = None  # labeled mode only
 
 
 class Sender:
@@ -168,6 +170,28 @@ class Sender:
         """[B, C, N] -> per-item felt blocks [C, table_size, fpi]."""
         return _slots_to_item_blocks(self.params, slot_matrix)
 
+    def extract_labels(self, resp: QueryResponse) -> np.ndarray:
+        """Labeled mode: decrypt the label results -> per-slot 16-byte label
+        candidates [C, table_size, 16] uint8.  Row (c, slot) holds the TRUE
+        label exactly where that cache's matching result equals the mask
+        (elsewhere ρ·M(x) blinding makes it garbage)."""
+        from apsu_tpu.hash.encoding import items_from_felts
+
+        if resp.label_results is None:
+            raise ValueError("response carries no label results")
+        ct = Ciphertext(
+            jnp.asarray(resp.label_results), is_ntt=False, level=resp.eval_level
+        )
+        polys = self.bfv.decrypt_device(ct, self.sk)
+        slot_matrix = jax.device_get(self.bfv.decode(polys))      # [B, C, N]
+        blocks = _slots_to_item_blocks(self.params, slot_matrix)  # [C, S, fpi]
+        C, S, fpi = blocks.shape
+        items = items_from_felts(
+            blocks.reshape(C * S, fpi).astype(np.uint32),
+            self.params.item_bit_count_per_felt,
+        )
+        return items.view(np.uint8).reshape(C, S, 16)
+
 
 class Receiver:
     """DB side (large set)."""
@@ -195,10 +219,11 @@ class Receiver:
                 f"query powers {req.power_list} != parameter powers {expected}"
             )
         P, B = req.powers_data.shape[0], req.powers_data.shape[1]
-        if P != len(expected) or B != p.bundle_idx_count:
+        expected_B = self.db.coeff_cache.shape[0]  # local bundle partition
+        if P != len(expected) or B != expected_B:
             raise ValueError(
                 f"power tensor {req.powers_data.shape} inconsistent with "
-                f"{len(expected)} powers × {p.bundle_idx_count} bundle indices"
+                f"{len(expected)} powers × {expected_B} bundle indices"
             )
         if req.powers_data.shape[-1] != p.poly_degree:
             raise ValueError("ciphertext degree mismatch")
@@ -225,8 +250,8 @@ class Receiver:
             if req.relin_key is not None
             else None
         )
-        C = self.db.coeff_cache.shape[1]
-        B, N = p.bundle_idx_count, p.poly_degree
+        B, C = self.db.coeff_cache.shape[0], self.db.coeff_cache.shape[1]
+        N = p.poly_degree
         t = p.seal_params.plain_modulus
         mask = self.rng.integers(0, t, size=(B, C, N), dtype=np.uint64).astype(np.uint32)
         self.last_mask = mask
@@ -254,6 +279,26 @@ class Receiver:
             self.bfv, cts, self.plan.low, rk, self.db.eval_lvl
         )  # [D, B, 2, Le, N]
         powers = jnp.moveaxis(powers, 0, 1)  # [B, D, 2, Le, N]
+        if self.db.label_cache is not None:
+            rho = self.rng.integers(1, t, size=(B, C, N), dtype=np.uint64).astype(
+                np.uint32
+            )
+            resM, resL = eval_matching_polys_labeled(
+                self.bfv,
+                powers,
+                self.db.coeff_cache,
+                self.db.const_slots,
+                jnp.asarray(mask),
+                self.db.label_cache,
+                self.db.label0_slots,
+                jnp.asarray(rho),
+                self.db.eval_lvl,
+            )
+            return QueryResponse(
+                results=resM.data,
+                eval_level=self.db.eval_lvl,
+                label_results=resL.data,
+            )
         res = eval_matching_polys(
             self.bfv,
             powers,

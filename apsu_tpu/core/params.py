@@ -27,6 +27,13 @@ from apsu_tpu.core import nt
 
 # Largest per-limb prime size usable with the uint32 Montgomery datapath.
 MAX_LIMB_BITS = 30
+# Key-switching special prime size.  Small on purpose: every bit not spent
+# on P is a data-modulus noise bit, and the relin noise term it controls
+# (∝ k·q_max·σ·√N / P, relative to Q) stays orders of magnitude below the
+# multiply noise even at P ≈ 2^22 for every shipped parameter set.  The
+# noise sweep (tools/param_sweep.py) validates the resulting chains at full
+# bin load.
+SPECIAL_BITS = 22
 
 
 @dataclass(frozen=True)
@@ -78,19 +85,27 @@ class SealParams:
 
 
 def rebase_coeff_modulus(
-    bit_sizes: Sequence[int], poly_degree: int, exclude: Sequence[int]
+    bit_sizes: Sequence[int], poly_degree: int, exclude: Sequence[int],
+    with_special: bool = False,
 ) -> List[int]:
     """Map the reference's prime bit-lengths onto a ≤30-bit limb chain.
 
-    Total bits of the new chain ≤ total of the reference chain (security never
-    decreases), spread as evenly as possible. The number of limbs is
-    ceil(total/MAX_LIMB_BITS), each limb 15..30 bits.
+    Total bits of the new chain ≤ total of the reference chain (security
+    never decreases).  With ``with_special`` the LAST prime is the
+    key-switching special prime at SPECIAL_BITS, and the data chain gets
+    everything else — maximizing noise headroom inside the same security
+    budget (the previous even split gave the special prime a full data-sized
+    limb and lost 4-6 data bits; tools/param_sweep.py caught dense-load
+    overflows on the tightest reference chains because of it).
     """
     total = int(sum(bit_sizes))
-    nlimbs = max(1, math.ceil(total / MAX_LIMB_BITS))
-    base = total // nlimbs
-    extra = total - base * nlimbs  # this many limbs get one extra bit
+    data_total = total - SPECIAL_BITS if with_special else total
+    nlimbs = max(1, math.ceil(data_total / MAX_LIMB_BITS))
+    base = data_total // nlimbs
+    extra = data_total - base * nlimbs  # this many limbs get one extra bit
     sizes = [base + 1] * extra + [base] * (nlimbs - extra)
+    if with_special:
+        sizes = sizes + [SPECIAL_BITS]
     assert sum(sizes) == total and max(sizes) <= MAX_LIMB_BITS
     return nt.gen_ntt_primes(sizes, 2 * poly_degree, exclude=list(exclude))
 
@@ -183,13 +198,16 @@ class PSUParams:
         else:
             raise ValueError("missing plain_modulus / plain_modulus_bits")
         ref_bits = tuple(int(b) for b in sp["coeff_modulus_bits"])
-        coeff = rebase_coeff_modulus(ref_bits, n, exclude=[t])
         # relinearization (hence a reserved special prime) is needed only when
         # the query powers don't already cover every degree, or PS is on
         covered = set(query_params.query_powers) >= set(
             range(1, table_params.max_items_per_bin + 1)
         )
         needs_relin = query_params.ps_low_degree > 0 or not covered
+        needs_relin = needs_relin and len(ref_bits) > 1
+        coeff = rebase_coeff_modulus(
+            ref_bits, n, exclude=[t], with_special=needs_relin
+        )
         seal_params = SealParams(
             poly_modulus_degree=n,
             plain_modulus=t,

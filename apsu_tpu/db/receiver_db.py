@@ -36,7 +36,7 @@ import numpy as np
 
 from apsu_tpu.core.bfv import BfvContext
 from apsu_tpu.core.params import PSUParams
-from apsu_tpu.engine.interpolate import polyn_with_roots
+from apsu_tpu.engine.interpolate import newton_interpolate, polyn_with_roots
 from apsu_tpu.hash.encoding import felts_from_items
 from apsu_tpu.hash.items import LocFuncs
 from apsu_tpu.mpc.oprf import OprfBackend
@@ -58,33 +58,95 @@ class ReceiverDB:
         oprf: OprfBackend,
         bfv: Optional[BfvContext] = None,
         loc_seed: bytes = b"apsu-loc",
+        bundle_range: Optional[tuple] = None,
+        cache_range: Optional[tuple] = None,
     ):
+        """bundle_range=(b0, b1): build/hold only bundle indices [b0, b1) —
+        one host's partition of a multi-host DB (SURVEY §2.7 C4; the
+        reference's scaling axis at receiver_osn.cpp:188-205).  Tensors then
+        have B = b1-b0 and the worker serves its slice of every query.
+
+        cache_range=(c0, c1): additionally hold only caches [c0, c1) of
+        those bundles — the second partition axis the 256M-4096 working set
+        (~32 caches/bundle, ~76 GB cache) needs.  A cache-partitioned DB is
+        build-once (no incremental mutation: a bin's overflow spill crosses
+        cache ranges)."""
         self.params = params
         self.oprf = oprf
         self.bfv = bfv or BfvContext(params.seal_params)
         tp = params.table_params
+        self.bundle_range = (
+            tuple(int(x) for x in bundle_range)
+            if bundle_range is not None
+            else (0, params.bundle_idx_count)
+        )
+        self.cache_range = (
+            tuple(int(x) for x in cache_range) if cache_range is not None else None
+        )
         self.locs = LocFuncs(tp.table_size, tp.hash_func_count, loc_seed)
-        self.coeff_cache: Optional[jnp.ndarray] = None  # [B, C, K+1, L, N] NTT mont
+        self.coeff_cache: Optional[jnp.ndarray] = None  # [B, C, planes, L, N] NTT mont
+        self.label_cache: Optional[jnp.ndarray] = None  # labeled mode only
+        self.label0_slots: Optional[jnp.ndarray] = None  # [B, C, N] L_0 coeffs
         self.stats: Optional[DbStats] = None
-        self._raw_coeff_slots: Optional[np.ndarray] = None  # kept until strip()
+        # mutation state (roots/counts host tensors), dropped by strip()
+        self._roots: Optional[np.ndarray] = None    # [B, C, K, N] uint32
+        self._counts: Optional[np.ndarray] = None   # [B, C, N] int32
+        self._eval_level_arg: Optional[int] = None
 
     # ------------------------------------------------------------------
-    def set_data(self, items: np.ndarray, eval_level: Optional[int] = None) -> DbStats:
-        """items: [n, 2] uint64 128-bit hashed items. Builds the eval cache."""
+    def set_data(
+        self,
+        items: np.ndarray,
+        eval_level: Optional[int] = None,
+        labels: Optional[np.ndarray] = None,
+    ) -> DbStats:
+        """items: [n, 2] uint64 128-bit hashed items. Builds the eval cache.
+
+        labels: optional [n, 16] uint8 per-item labels (LABELED mode —
+        reference bin_bundle.cpp:975-1026 label interpolation; non-PS
+        configs only).  Callers wanting item-bound label privacy encrypt
+        with hash.items.encrypt_label first."""
         p = self.params
         tp = p.table_params
         n = items.shape[0]
         h = tp.hash_func_count
         fpi = p.felts_per_item
         K = tp.max_items_per_bin
-        B = p.bundle_idx_count
+        b0, b1 = self.bundle_range
+        B = b1 - b0
         N = p.poly_degree
         ipb = p.items_per_bundle
+        lo_slot, hi_slot = b0 * ipb, min(tp.table_size, b1 * ipb)
 
         # 1. all cuckoo locations, flattened (item, slot) pairs
         locs = self.locs.locations(items)          # [n, h]
         slots = locs.reshape(-1)                   # [n*h]
         rep = np.repeat(items, h, axis=0)
+        rep_labels = None
+        if labels is not None:
+            lab_u64 = (
+                np.ascontiguousarray(labels, dtype=np.uint8)
+                .view(np.uint64)
+                .reshape(-1, 2)
+            )
+            # a label rides the same felt lanes as its item: capacity is
+            # item_bit_count bits (longer labels need the encryptor's
+            # chunking — reject rather than truncate silently)
+            cap = p.item_bit_count
+            hi_ok = (
+                lab_u64[:, 1] >> np.uint64(max(0, cap - 64)) == 0
+                if cap < 128
+                else np.ones(len(lab_u64), bool)
+            )
+            lo_ok = (
+                lab_u64[:, 0] >> np.uint64(cap) == 0 if cap < 64 else True
+            )
+            if not (np.all(hi_ok) and np.all(lo_ok)):
+                raise ValueError(
+                    f"label exceeds the {cap}-bit per-item capacity of this "
+                    "parameter set"
+                )
+            rep_labels = np.repeat(lab_u64, h, axis=0)
 
         # drop duplicate (item, slot) pairs — colliding loc funcs AND
         # duplicate input items (the reference's all_locations is a set,
@@ -98,42 +160,102 @@ class ReceiverDB:
             keep_sorted = np.concatenate([[True], ~dup])
             keep[order0] = keep_sorted
             slots, rep = slots[keep], rep[keep]
+            if rep_labels is not None:
+                rep_labels = rep_labels[keep]
+
+        # multi-host partition: keep only this worker's slot range
+        if (b0, b1) != (0, p.bundle_idx_count):
+            in_range = (slots >= lo_slot) & (slots < hi_slot)
+            slots, rep = slots[in_range], rep[in_range]
+            if rep_labels is not None:
+                rep_labels = rep_labels[in_range]
 
         # 2. slot-bound OPRF, 3. felts
         prf = self.oprf.eval(rep, slots)
         felts = felts_from_items(prf, fpi, p.item_bit_count_per_felt)  # [m, fpi]
+        label_felts = (
+            felts_from_items(rep_labels, fpi, p.item_bit_count_per_felt)
+            if rep_labels is not None
+            else None
+        )
 
         # 4. per-slot ranks -> (cache, depth)
-        order = np.argsort(slots, kind="stable")
-        ss = slots[order]
-        first = np.searchsorted(ss, ss, side="left")
-        ranks = np.empty(len(ss), dtype=np.int64)
-        ranks[order] = np.arange(len(ss)) - first
-        cache_idx = ranks // K
-        depth = ranks % K
-        C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
+        if label_felts is None:
+            order = np.argsort(slots, kind="stable")
+            ss = slots[order]
+            first = np.searchsorted(ss, ss, side="left")
+            ranks = np.empty(len(ss), dtype=np.int64)
+            ranks[order] = np.arange(len(ss)) - first
+            cache_idx = ranks // K
+            depth = ranks % K
+            C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
+        else:
+            # labeled bins interpolate over felt x-values, which must be
+            # DISTINCT within a (slot, cache) bin lane; a colliding item
+            # spills to the next cache — the reference's labeled
+            # multi_insert dry-run behavior (bin_bundle.cpp:477)
+            cache_idx = np.zeros(len(slots), dtype=np.int64)
+            depth = np.zeros(len(slots), dtype=np.int64)
+            fill: dict = {}      # (slot, cache) -> count
+            felt_sets: dict = {}  # (slot, cache, f) -> set of felts
+            for i, s in enumerate(slots):
+                s = int(s)
+                c = 0
+                while True:
+                    if fill.get((s, c), 0) < K and all(
+                        felts[i, f] not in felt_sets.get((s, c, f), ())
+                        for f in range(fpi)
+                    ):
+                        break
+                    c += 1
+                cache_idx[i] = c
+                depth[i] = fill.get((s, c), 0)
+                fill[(s, c)] = depth[i] + 1
+                for f in range(fpi):
+                    felt_sets.setdefault((s, c, f), set()).add(int(felts[i, f]))
+            C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
 
         # 5. dense roots tensor + per-lane counts
-        bundle_idx = slots // ipb
+        bundle_idx = slots // ipb - b0
         lane = (slots % ipb) * fpi
         roots = np.zeros((B, C, K, N), dtype=np.uint32)
         counts = np.zeros((B, C, N), dtype=np.int32)
         for f in range(fpi):
             roots[bundle_idx, cache_idx, depth, lane + f] = felts[:, f]
-        slot_counts = np.bincount(slots, minlength=tp.table_size)
+        label_vals = None
+        if label_felts is not None:
+            label_vals = np.zeros((B, C, K, N), dtype=np.uint32)
+            for f in range(fpi):
+                label_vals[bundle_idx, cache_idx, depth, lane + f] = label_felts[:, f]
+        slot_counts = np.bincount(slots, minlength=tp.table_size)[lo_slot:hi_slot]
         per_bundle_caches = np.zeros(B, dtype=np.int64)
-        sidx = np.arange(tp.table_size)
-        sb = sidx // ipb
+        sidx = np.arange(lo_slot, hi_slot)
+        sb = sidx // ipb - b0
         sl = (sidx % ipb) * fpi
+        # per-(slot, cache) fills: dense rank filling in the unlabeled path,
+        # the actual collision-aware placement in the labeled path
+        slot_cache_cnt = np.zeros((len(sidx), C), dtype=np.int32)
+        if label_felts is None:
+            for c in range(C):
+                slot_cache_cnt[:, c] = np.clip(slot_counts - c * K, 0, K)
+        else:
+            np.add.at(slot_cache_cnt, (slots - lo_slot, cache_idx), 1)
         for c in range(C):
-            cnt_c = np.clip(slot_counts - c * K, 0, K).astype(np.int32)
+            cnt_c = slot_cache_cnt[:, c]
             for f in range(fpi):
                 counts[sb, c, sl + f] = cnt_c
             used = np.bincount(sb[cnt_c > 0], minlength=B) > 0
             per_bundle_caches[used] += 1
 
-        # 6. device build of the evaluation cache
+        # 6. device build of the evaluation cache (roots/counts retained
+        # host-side until strip() for incremental insert/remove)
+        if labels is not None and eval_level is None:
+            eval_level = self.labeled_eval_level()
         self._build_cache(roots, counts, eval_level)
+        if label_vals is not None:
+            self._build_label_cache(roots, label_vals, counts)
+        self._roots, self._counts = roots, counts
+        self._eval_level_arg = eval_level
         self.stats = DbStats(
             n_items=n,
             n_insertions=len(slots),
@@ -228,6 +350,62 @@ class ReceiverDB:
         self.eval_lvl = lvl
         self.result_lvl = self.result_level() if uses_ps else lvl
 
+    def _build_label_cache(
+        self, roots: np.ndarray, label_vals: np.ndarray, counts: np.ndarray
+    ) -> None:
+        """Interpolate per-bin label polynomials L with L(item_felt) =
+        label_felt (reference regen_polyns' Newton branch) and lift them
+        into an NTT cache shaped like coeff_cache (same plane count, so the
+        evaluator reuses one padded power tensor for both dot products)."""
+        p = self.params
+        if p.query_params.ps_low_degree > 0:
+            raise ValueError("labeled mode supports non-PS configs only")
+        B, C, K, N = roots.shape
+        t = p.seal_params.plain_modulus
+
+        # Newton needs DISTINCT x-values within each lane's valid prefix;
+        # two different items may collide on one felt lane (probability
+        # ~K²/2t per lane) — reject loudly rather than corrupt labels
+        depth_idx = np.arange(K, dtype=np.int64)
+        invalid = depth_idx[None, None, :, None] >= counts[:, :, None, :]
+        # padding entries get unique out-of-range keys so they never collide
+        key = np.where(
+            invalid, (t + depth_idx)[None, None, :, None], roots.astype(np.int64)
+        )
+        ks = np.sort(key, axis=2)
+        if bool((ks[:, :, 1:, :] == ks[:, :, :-1, :]).any()):
+            raise ValueError(
+                "label interpolation impossible: two bin entries share a "
+                "felt value in one lane (re-randomize the OPRF or rebuild)"
+            )
+
+        lvl = self.eval_lvl
+        planes = self.coeff_cache.shape[2]
+
+        def build(roots_d, lvals_d, counts_d):
+            coeffs = newton_interpolate(roots_d, lvals_d, counts_d, t)  # [C, K, N]
+            pad = planes - K
+            if pad:
+                coeffs = jnp.concatenate(
+                    [coeffs, jnp.zeros(coeffs.shape[:-2] + (pad, N), jnp.uint32)],
+                    axis=-2,
+                )
+            polys = self.bfv.encode(coeffs)
+            return self.bfv.lift_plaintext_ntt(polys, lvl), coeffs[..., 0, :]
+
+        fn = self.bfv._jitted(("db_label_build", lvl, C, planes), build)
+        caches, l0s = [], []
+        for b in range(B):
+            out = fn(
+                jnp.asarray(roots[b]),
+                jnp.asarray(label_vals[b]),
+                jnp.asarray(counts[b]),
+            )
+            caches.append(out[0])
+            l0s.append(out[1])
+        self.label_cache = jnp.stack(caches)
+        self.label0_slots = jnp.stack(l0s)
+
     def set_synthetic_dense(
         self, rng, n_caches: int = 1, eval_level: Optional[int] = None
     ) -> np.ndarray:
@@ -259,23 +437,39 @@ class ReceiverDB:
         return roots
 
     # ------------------------------------------------------------------
-    def eval_level(self) -> int:
-        """Smallest modulus level with enough room for the matching-poly sum.
+    def eval_level(self, extra_bits: float = 0.0) -> int:
+        """Smallest modulus level with enough room for the matching-poly sum
+        at FULL bin load (the densest state a parameter file permits).
 
-        Needs log2(Q_l) ≳ 2·log2 t + ½·log2(N/12) + log2(K+1) + margin —
-        the invariant-noise estimate for a degree-K ct×pt dot product over
-        batch-encoded plaintexts.
+        log2(Q_l) ≳ 2·log2 t + log2 N + log2(K+1) + 4 + 2·depth, where depth
+        is the power-DAG ct×ct depth: the mod-switch rounding floor
+        (~t·√N/Q_l invariant noise) and the DAG's per-level t·√N noise
+        amplification both survive into the dot product, each multiplied by
+        another t·√N and summed over K+1 terms.  The original
+        fresh-ciphertext-only estimate (2·t_bits + ½·log2 N + log2(K+1) + 8)
+        silently overflowed on deep-DAG configs at full load — caught by
+        tools/param_sweep.py (256K-512, 1M-512-*: 100% of dense matches
+        decrypted wrong at the old level).  Exhausting the chain returns the
+        full level (e.g. single-limb 100K-1, measured exact).
         """
         import math
 
-        sp = self.params.seal_params
+        from apsu_tpu.engine.powers import plan_query
+
+        p = self.params
+        sp = p.seal_params
         t_bits = sp.plain_modulus.bit_length()
+        K = p.table_params.max_items_per_bin
+        depth = plan_query(
+            p.query_params.query_powers, K, p.query_params.ps_low_degree
+        ).low.depth
         need = (
             2 * t_bits
-            - 1
-            + 0.5 * (math.log2(self.params.poly_degree) - 3.58)
-            + math.log2(self.params.table_params.max_items_per_bin + 1)
-            + 8
+            + math.log2(p.poly_degree)
+            + math.log2(K + 1)
+            + 4
+            + 2 * depth
+            + extra_bits
         )
         bits = 0
         for lvl, q in enumerate(self.bfv.q_primes, start=1):
@@ -283,6 +477,16 @@ class ReceiverDB:
             if bits >= need:
                 return lvl
         return len(self.bfv.q_primes)
+
+    def labeled_eval_level(self) -> int:
+        """Labeled results carry one more plaintext multiply (the ρ·M(x)
+        blinding): ~log2(t·√N) additional invariant-noise bits."""
+        import math
+
+        t_bits = self.params.seal_params.plain_modulus.bit_length()
+        return self.eval_level(
+            extra_bits=t_bits + 0.5 * math.log2(self.params.poly_degree) + 4
+        )
 
     def ps_level(self) -> int:
         """Evaluation level for the PS path: the outer ct×ct products need
@@ -349,8 +553,224 @@ class ReceiverDB:
         return len(self.bfv.q_primes)
 
     def strip(self) -> None:
-        """Drop raw data, keep only the evaluation cache (receiver_db.cpp:828)."""
-        self._raw_coeff_slots = None
+        """Drop raw data, keep only the evaluation cache — the minimal
+        query-serving checkpoint (receiver_db.cpp:828-856).  A stripped DB
+        can no longer insert_or_assign/remove (reference parity)."""
+        self._roots = None
+        self._counts = None
+
+    # ------------------------------------------------------------------
+    # incremental mutation (reference insert_or_assign into an existing DB,
+    # remove, has_item — receiver_db.cpp:330-510, 746-806).  Host-side
+    # roots/counts update + device rebuild of ONLY the touched bundle
+    # indices (each ~1/B of the cache), instead of a full set_data.
+    # ------------------------------------------------------------------
+    def _require_mutable(self) -> None:
+        if self._roots is None:
+            raise ValueError(
+                "DB was stripped (or never built via set_data): incremental "
+                "mutation needs the retained roots/counts tensors"
+            )
+
+    def _locations_felts(self, items: np.ndarray):
+        """items -> deduped ((slots, rep_items, felts)) like set_data 1-3."""
+        p = self.params
+        locs = self.locs.locations(items)
+        slots = locs.reshape(-1)
+        rep = np.repeat(items, p.table_params.hash_func_count, axis=0)
+        if len(slots):
+            keep = np.ones(len(slots), dtype=bool)
+            order0 = np.lexsort((rep[:, 1], rep[:, 0], slots))
+            sk, r0, r1 = slots[order0], rep[order0, 0], rep[order0, 1]
+            dup = (sk[1:] == sk[:-1]) & (r0[1:] == r0[:-1]) & (r1[1:] == r1[:-1])
+            keep[order0] = np.concatenate([[True], ~dup])
+            slots, rep = slots[keep], rep[keep]
+        b0, b1 = self.bundle_range
+        if (b0, b1) != (0, p.bundle_idx_count):
+            ipb = p.items_per_bundle
+            in_range = (slots >= b0 * ipb) & (
+                slots < min(p.table_params.table_size, b1 * ipb)
+            )
+            slots, rep = slots[in_range], rep[in_range]
+        prf = self.oprf.eval(rep, slots)
+        felts = felts_from_items(prf, p.felts_per_item, p.item_bit_count_per_felt)
+        return slots, rep, felts
+
+    def _slot_geometry(self, slot: int):
+        p = self.params
+        b = slot // p.items_per_bundle - self.bundle_range[0]
+        lane0 = (slot % p.items_per_bundle) * p.felts_per_item
+        return b, lane0
+
+    def _find_entry(self, slot: int, felt_row: np.ndarray):
+        """(cache, depth) of felt_row in the slot's bin, or None."""
+        fpi = self.params.felts_per_item
+        b, lane0 = self._slot_geometry(slot)
+        view = self._roots[b, :, :, lane0 : lane0 + fpi]  # [C, K, fpi]
+        match = np.all(view == felt_row[None, None, :], axis=2)  # [C, K]
+        depth_ok = (
+            np.arange(view.shape[1])[None, :] < self._counts[b, :, lane0, None]
+        )
+        hits = np.argwhere(match & depth_ok)
+        return (int(hits[0][0]), int(hits[0][1])) if len(hits) else None
+
+    def _slot_total(self, slot: int) -> int:
+        b, lane0 = self._slot_geometry(slot)
+        return int(self._counts[b, :, lane0].sum())
+
+    def _set_slot_total(self, slot: int, total: int) -> None:
+        p = self.params
+        K = p.table_params.max_items_per_bin
+        b, lane0 = self._slot_geometry(slot)
+        fpi = p.felts_per_item
+        C = self._counts.shape[1]
+        per_cache = np.clip(total - np.arange(C) * K, 0, K).astype(np.int32)
+        self._counts[b, :, lane0 : lane0 + fpi] = per_cache[:, None]
+
+    def has_item(self, items: np.ndarray) -> np.ndarray:
+        """[n] bool: is each (hashed) item present in the DB?"""
+        self._require_mutable()
+        h = self.params.table_params.hash_func_count
+        locs = self.locs.locations(items)
+        rep = np.repeat(items, h, axis=0)
+        slots = locs.reshape(-1)
+        prf = self.oprf.eval(rep, slots)
+        felts = felts_from_items(
+            prf, self.params.felts_per_item, self.params.item_bit_count_per_felt
+        )
+        found = np.array(
+            [
+                self._find_entry(int(s), felts[i]) is not None
+                for i, s in enumerate(slots)
+            ]
+        )
+        return found.reshape(-1, h).any(axis=1)
+
+    def insert_or_assign(self, new_items: np.ndarray) -> DbStats:
+        """Insert items into the existing DB (skipping already-present
+        (item, slot) pairs), then rebuild only the touched bundle indices."""
+        self._require_mutable()
+        p = self.params
+        K = p.table_params.max_items_per_bin
+        fpi = p.felts_per_item
+        B, C = self._roots.shape[0], self._roots.shape[1]
+        slots, _, felts = self._locations_felts(new_items)
+
+        touched = set()
+        grow_to = C
+        # first pass: required capacity (a slot overflowing every existing
+        # cache grows the cache axis — full rebuild in that case)
+        pending = []
+        for i, s in enumerate(slots):
+            s = int(s)
+            if self._find_entry(s, felts[i]) is not None:
+                continue
+            pending.append((s, i))
+        totals = {}
+        for s, _ in pending:
+            totals[s] = totals.get(s, self._slot_total(s)) + 1
+            grow_to = max(grow_to, -(-totals[s] // K))
+        if grow_to > C:
+            new_roots = np.zeros(
+                (B, grow_to, K, self._roots.shape[3]), dtype=self._roots.dtype
+            )
+            new_roots[:, :C] = self._roots
+            new_counts = np.zeros((B, grow_to, self._counts.shape[2]), np.int32)
+            new_counts[:, :C] = self._counts
+            self._roots, self._counts = new_roots, new_counts
+
+        for s, i in pending:
+            b, lane0 = self._slot_geometry(s)
+            total = self._slot_total(s)
+            if total >= self._roots.shape[1] * K:
+                raise ValueError("bin overflow beyond cache capacity")
+            c, d = divmod(total, K)
+            self._roots[b, c, d, lane0 : lane0 + fpi] = felts[i]
+            self._set_slot_total(s, total + 1)
+            touched.add(b)
+
+        if grow_to > C:
+            self._build_cache(self._roots, self._counts, self._eval_level_arg)
+        else:
+            self._rebuild_bundles(touched)
+        self._refresh_stats(len(pending))
+        return self.stats
+
+    def remove(self, items: np.ndarray) -> DbStats:
+        """Remove items (at every cuckoo location), swap-filling from the
+        slot's last occupant, then rebuild the touched bundle indices."""
+        self._require_mutable()
+        p = self.params
+        K = p.table_params.max_items_per_bin
+        fpi = p.felts_per_item
+        slots, _, felts = self._locations_felts(items)
+        touched = set()
+        removed = 0
+        for i, s in enumerate(slots):
+            s = int(s)
+            hit = self._find_entry(s, felts[i])
+            if hit is None:
+                continue
+            c, d = hit
+            b, lane0 = self._slot_geometry(s)
+            total = self._slot_total(s)
+            cl, dl = divmod(total - 1, K)
+            # move the slot's last entry into the vacated position
+            self._roots[b, c, d, lane0 : lane0 + fpi] = self._roots[
+                b, cl, dl, lane0 : lane0 + fpi
+            ]
+            self._roots[b, cl, dl, lane0 : lane0 + fpi] = 0
+            self._set_slot_total(s, total - 1)
+            touched.add(b)
+            removed += 1
+        self._rebuild_bundles(touched)
+        self._refresh_stats(-removed)
+        return self.stats
+
+    def _rebuild_bundles(self, bundles) -> None:
+        """Re-run the device cache build for the given bundle indices only,
+        writing into the resident (donated) cache buffer."""
+        if not bundles:
+            return
+        p = self.params
+        C = self._roots.shape[1]
+        lvl = self.eval_lvl
+        uses_ps = self.ps_const_polys is not None
+        planes = self.coeff_cache.shape[2]
+        fn = self.bfv._jit_cache[("db_build", lvl, uses_ps, C, planes)]
+        place = self.bfv._jit_cache[("db_place", lvl, uses_ps, C, planes)]
+        for b in sorted(bundles):
+            out = fn(jnp.asarray(self._roots[b]), jnp.asarray(self._counts[b]))
+            self.coeff_cache = place(self.coeff_cache, out[0], b)
+            self.const_slots = self.const_slots.at[b].set(out[1])
+            if uses_ps:
+                self.ps_const_polys = self.ps_const_polys.at[b].set(out[2])
+
+    def _refresh_stats(self, delta_items: int) -> None:
+        p = self.params
+        K = p.table_params.max_items_per_bin
+        B, C = self._counts.shape[0], self._counts.shape[1]
+        b0, b1 = self.bundle_range
+        sidx = np.arange(
+            b0 * p.items_per_bundle,
+            min(p.table_params.table_size, b1 * p.items_per_bundle),
+        )
+        sb = sidx // p.items_per_bundle - b0
+        sl = (sidx % p.items_per_bundle) * p.felts_per_item
+        slot_counts = self._counts[sb, :, sl].sum(axis=1)
+        per_bundle = np.zeros(B, dtype=np.int64)
+        for c in range(C):
+            used = np.bincount(
+                sb[self._counts[sb, c, sl] > 0], minlength=B
+            ) > 0
+            per_bundle[used] += 1
+        self.stats = DbStats(
+            n_items=self.stats.n_items + delta_items,
+            n_insertions=int(slot_counts.sum()),
+            n_caches=C,
+            cache_counts=per_bundle,
+            max_bin_load=int(slot_counts.max()) if len(slot_counts) else 0,
+        )
 
     # ------------------------------------------------------------------
     # checkpoint (the reference's FlatBuffers ReceiverDB save/load,
@@ -373,9 +793,15 @@ class ReceiverDB:
                 os.path.join(path, "ps_const_polys.npy"),
                 jax.device_get(self.ps_const_polys),
             )
+        if self.label_cache is not None:
+            np.save(os.path.join(path, "label_cache.npy"), jax.device_get(self.label_cache))
+            np.save(
+                os.path.join(path, "label0_slots.npy"), jax.device_get(self.label0_slots)
+            )
         meta = {
             "eval_lvl": int(self.eval_lvl),
             "result_lvl": int(self.result_lvl),
+            "bundle_range": list(self.bundle_range),
             "n_items": self.stats.n_items,
             "n_insertions": self.stats.n_insertions,
             "n_caches": self.stats.n_caches,
@@ -406,13 +832,21 @@ class ReceiverDB:
                 oprf.n_slots = params.table_params.table_size
             else:
                 raise ValueError("checkpoint has no OPRF state; pass one")
-        db = ReceiverDB(params, oprf)
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        db = ReceiverDB(
+            params, oprf, bundle_range=tuple(meta.get("bundle_range", ())) or None
+        )
         db.coeff_cache = jnp.asarray(np.load(os.path.join(path, "coeff_cache.npy")))
         db.const_slots = jnp.asarray(np.load(os.path.join(path, "const_slots.npy")))
         pcp = os.path.join(path, "ps_const_polys.npy")
         db.ps_const_polys = jnp.asarray(np.load(pcp)) if os.path.exists(pcp) else None
-        with open(os.path.join(path, "meta.json")) as f:
-            meta = json.load(f)
+        lcp = os.path.join(path, "label_cache.npy")
+        if os.path.exists(lcp):
+            db.label_cache = jnp.asarray(np.load(lcp))
+            db.label0_slots = jnp.asarray(
+                np.load(os.path.join(path, "label0_slots.npy"))
+            )
         db.eval_lvl = meta["eval_lvl"]
         db.result_lvl = meta["result_lvl"]
         db.stats = DbStats(

@@ -203,6 +203,88 @@ def eval_matching_polys(
     return Ciphertext(data, is_ntt=False, level=eval_level)
 
 
+def eval_matching_polys_labeled(
+    bfv: BfvContext,
+    powers_ntt: jnp.ndarray,      # [B, D, 2, Le, N] NTT mont (powers 1..D)
+    coeff_cache: jnp.ndarray,     # [B, C, Dp, Le, N] matching-poly planes
+    const_slots: jnp.ndarray,     # [B, C, N] matching constant coeffs
+    mask_slots: jnp.ndarray,      # [B, C, N] random mask r
+    label_cache: jnp.ndarray,     # [B, C, Dp, Le, N] label-poly planes
+    label0_slots: jnp.ndarray,    # [B, C, N] label constant coeffs L_0
+    rho_slots: jnp.ndarray,       # [B, C, N] label blinding factor ρ
+    eval_level: int,
+):
+    """Labeled evaluation (reference ``BatchedPlaintextPolyn::eval`` label
+    branch, bin_bundle.cpp:106-174 with label polynomials): one pass over
+    the shared query-power stream computes
+
+        result_M = M(x) + Δ·r        (the usual masked matching result)
+        result_L = L(x) + ρ·M(x) + Δ·0
+
+    slot-wise; at a matching slot M(x)=0, so result_L decrypts to exactly
+    the label felt, elsewhere ρ·M(x) blinds L.  Returns (match_ct, label_ct).
+    """
+    base = bfv.levels[eval_level]
+    t = np.uint32(bfv.t)
+
+    def impl(powers, mcache, lcache, const_s, mask_s, l0_s, rho_s):
+        D = powers.shape[1]
+        B, C = mcache.shape[0], mcache.shape[1]
+        N = powers.shape[-1]
+        Dp = mcache.shape[2]
+        pw = jnp.concatenate(
+            [
+                jnp.zeros((B, 1, 2, base.k, N), jnp.uint32),
+                powers,
+                jnp.zeros((B, Dp - D - 1, 2, base.k, N), jnp.uint32),
+            ],
+            axis=1,
+        )
+
+        def dot(cache):
+            def body(j, acc):
+                a = jax.lax.dynamic_index_in_dim(pw, j, axis=1, keepdims=False)
+                b = jax.lax.dynamic_index_in_dim(cache, j, axis=2, keepdims=False)
+                return add_mod(
+                    acc,
+                    mont_mul(a[:, None], b[:, :, None], base.p_d, base.pni_d),
+                    base.p_d,
+                )
+
+            return jax.lax.fori_loop(
+                0, Dp, body, jnp.zeros((B, C, 2, base.k, N), jnp.uint32)
+            )
+
+        accM = dot(mcache)                       # NTT mont, sans constant
+        accL = dot(lcache)
+        # fold the matching constant into accM (NTT domain) so the blinding
+        # term sees the FULL M(x)
+        dm0 = base.ntt.ntt(base.to_mont(bfv._scale_impl(bfv.encode(const_s), eval_level)))
+        accM = accM.at[:, :, 0].set(add_mod(accM[:, :, 0], dm0, base.p_d))
+        rho_ntt = bfv.lift_plaintext_ntt(bfv.encode(rho_s), eval_level)
+        accL = add_mod(
+            accL, mont_mul(accM, rho_ntt[:, :, None], base.p_d, base.pni_d), base.p_d
+        )
+
+        resM = base.from_mont(base.ntt.intt(accM))
+        dmask = bfv._scale_impl(bfv.encode(mask_s), eval_level)
+        resM = resM.at[:, :, 0].set(add_mod(resM[:, :, 0], dmask, base.p_d))
+        resL = base.from_mont(base.ntt.intt(accL))
+        dl0 = bfv._scale_impl(bfv.encode(l0_s), eval_level)
+        resL = resL.at[:, :, 0].set(add_mod(resL[:, :, 0], dl0, base.p_d))
+        return resM, resL
+
+    f = bfv._jitted(("eval_matching_labeled", eval_level), impl)
+    resM, resL = f(
+        powers_ntt, coeff_cache, label_cache, const_slots, mask_slots,
+        label0_slots, rho_slots,
+    )
+    return (
+        Ciphertext(resM, is_ntt=False, level=eval_level),
+        Ciphertext(resL, is_ntt=False, level=eval_level),
+    )
+
+
 def eval_matching_polys_ps(
     bfv: BfvContext,
     low_powers_ntt: jnp.ndarray,    # [B, ℓ, 2, L, N] NTT mont: x^1..x^ℓ, FULL level
@@ -240,87 +322,80 @@ def eval_matching_polys_ps(
         f"needs {nh * ph + ell + 1} (pad with zero planes in the DB build)"
     )
 
-    def inner_impl(low, cache, consts):
-        # coefficient plane of chunk k, degree i is k·ph + i (gathered per i;
-        # the cache may carry extra zero padding planes beyond K+1)
+    # Row-chunked batched execution over the flattened (bundle, cache) axis:
+    # each chunk runs the whole chain — inner sums, ONE batched BEHZ outer
+    # product, k-sum, relinearize, mod-switch, mask — as a single fused
+    # device program, replacing the former B·C Python-serialized dispatches
+    # (24 at 16M scale) with ceil(B·C / row_chunk).  The chunk size bounds
+    # the full-level BEHZ temporaries (~nh·3·(L+L_bsk)·N·4 bytes per row;
+    # the coefficient cache itself already occupies most of HBM at 16M).
+    rows = B * C
+    bytes_per_row = nh * 3 * (2 * q.k + 6) * N * 4 * 3
+    row_chunk = int(max(1, min(rows, (2 << 30) // max(1, bytes_per_row))))
+
+    rbase = bfv.levels[result_level]
+    cache_rows = coeff_cache.reshape((rows,) + coeff_cache.shape[2:])
+    const_rows = const_polys.reshape((rows,) + const_polys.shape[2:])
+    mask_rows = mask_slots.reshape(rows, N)
+    bundle_of = np.arange(rows, dtype=np.int32) // C
+
+    def rows_impl(cache_r, const_r, mask_r, low_r, high_r, ksk):
+        R = cache_r.shape[0]
         base_idx = jnp.arange(nh + 1, dtype=jnp.int32) * ph
 
         def body(i, acc):
-            pw = jax.lax.dynamic_index_in_dim(low, i - 1, axis=1, keepdims=False)
-            pt = jnp.take(cache, base_idx + i, axis=2)  # [B, C, nh+1, L, N]
+            pw = jax.lax.dynamic_index_in_dim(low_r, i - 1, axis=1, keepdims=False)
+            pt = jnp.take(cache_r, base_idx + i, axis=1)  # [R, nh+1, L, N]
             term = mont_mul(
-                pw[:, None, None, :, :, :], pt[:, :, :, None, :, :], q.p_d, q.pni_d
-            )  # [B, C, nh+1, 2, L, N]
+                pw[:, None, :, :, :], pt[:, :, None, :, :], q.p_d, q.pni_d
+            )  # [R, nh+1, 2, L, N]
             return add_mod(acc, term, q.p_d)
 
         acc = jax.lax.fori_loop(
-            1,
-            ell + 1,
-            body,
-            jnp.zeros(
-                (low.shape[0], cache.shape[1], nh + 1, 2, q.k, N), jnp.uint32
-            ),
+            1, ell + 1, body, jnp.zeros((R, nh + 1, 2, q.k, N), jnp.uint32)
         )
         acc = q.from_mont(q.ntt.intt(acc))          # coeff plain
-        dm = bfv._scale_impl(consts, lvl)           # [B, C, nh+1, L, N]
+        dm = bfv._scale_impl(const_r, lvl)          # [R, nh+1, L, N]
         c0 = add_mod(acc[..., 0, :, :], dm, q.p_d)
-        return acc.at[..., 0, :, :].set(c0)         # [B, C, nh+1, 2, L, N]
+        inner = acc.at[..., 0, :, :].set(c0)        # [R, nh+1, 2, L, N]
 
-    # Per-bundle-index processing bounds HBM temporaries: the full-level
-    # tensor-product operands at 16M scale are ~1.2 GB per bundle index, and
-    # the coefficient cache already occupies ~7 GB.
-    def reduce_impl(prod, inner0):
-        tot = prod
-        # sum over k axis
-        def body(k, acc):
+        prod3 = bfv.multiply(
+            Ciphertext(inner[:, 1:], is_ntt=False, level=lvl),
+            Ciphertext(high_r, is_ntt=False, level=lvl),
+        ).data                                      # [R, nh, 3, L, N]
+
+        def ksum(kk, a):
             return add_mod(
-                acc, jax.lax.dynamic_index_in_dim(tot, k, axis=2, keepdims=False), q.p_d
+                a,
+                jax.lax.dynamic_index_in_dim(prod3, kk, axis=1, keepdims=False),
+                q.p_d,
             )
-        acc = jax.lax.fori_loop(
-            1, nh, body, tot[:, :, 0]
-        )  # [1, C, 3, L, N]
-        # add the k=0 inner sum into the first two components
-        return acc.at[:, :, :2].set(add_mod(acc[:, :, :2], inner0, q.p_d))
 
-    inner_fn = bfv._jitted(("ps_inner", ps_low_degree, nh, lvl), inner_impl)
-    reduce_fn = bfv._jitted(("ps_reduce", nh, lvl), reduce_impl)
-    switched = []
-    for b in range(B):
-        row = []
-        for c in range(C):
-            inner_bc = inner_fn(
-                low_powers_ntt[b : b + 1],
-                coeff_cache[b : b + 1, c : c + 1],
-                const_polys[b : b + 1, c : c + 1],
-            )  # [1, 1, nh+1, 2, L, N]
-            lhs = inner_bc[:, :, 1:]                          # [1, 1, nh, 2, L, N]
-            rhs = jnp.broadcast_to(
-                high_powers_coeff[b : b + 1, None, :, :, :, :], lhs.shape
-            )
-            prod3 = bfv.multiply(
-                Ciphertext(lhs, is_ntt=False, level=lvl),
-                Ciphertext(rhs, is_ntt=False, level=lvl),
-            )  # [1, 1, nh, 3, L, N]
-            row.append(reduce_fn(prod3.data, inner_bc[:, :, 0]))
-        # relinearize + mod-switch per bundle index to bound peak HBM
-        total_b = jnp.concatenate(row, axis=1)                # [1, C, 3, L, N]
-        rel_b = bfv.relinearize(
-            Ciphertext(total_b, is_ntt=False, level=lvl), relin_key
+        tot = jax.lax.fori_loop(1, nh, ksum, prod3[:, 0])  # [R, 3, L, N]
+        tot = tot.at[:, :2].set(add_mod(tot[:, :2], inner[:, 0], q.p_d))
+        rel = bfv.relinearize(
+            Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, lvl)
         )
-        switched.append(bfv.mod_switch_to(rel_b, result_level).data)
-    res = Ciphertext(
-        jnp.concatenate(switched, axis=0), is_ntt=False, level=result_level
-    )
+        sw = bfv.mod_switch_to(rel, result_level)   # [R, 2, Lr, N]
+        dm2 = bfv._scale_impl(bfv.encode(mask_r), result_level)
+        return sw.data.at[:, 0].set(add_mod(sw.data[:, 0], dm2, rbase.p_d))
 
-    # add the random mask at the result level
-    def mask_impl(data, mask):
-        poly = bfv.encode(mask)
-        dm = bfv._scale_impl(poly, result_level)
-        base = bfv.levels[result_level]
-        c0 = add_mod(data[..., 0, :, :], dm, base.p_d)
-        return data.at[..., 0, :, :].set(c0)
-
-    data = bfv._jitted(("ps_mask", result_level), mask_impl)(
-        res.data, mask_slots
-    )
+    out = []
+    for r0 in range(0, rows, row_chunk):
+        r1 = min(rows, r0 + row_chunk)
+        fn = bfv._jitted(
+            ("ps_rows", r1 - r0, ps_low_degree, nh, lvl, result_level), rows_impl
+        )
+        bo = bundle_of[r0:r1]
+        out.append(
+            fn(
+                cache_rows[r0:r1],
+                const_rows[r0:r1],
+                mask_rows[r0:r1],
+                jnp.take(low_powers_ntt, bo, axis=0),
+                jnp.take(high_powers_coeff, bo, axis=0),
+                relin_key.ksk,
+            )
+        )
+    data = jnp.concatenate(out).reshape(B, C, 2, rbase.k, N)
     return Ciphertext(data, is_ntt=False, level=result_level)

@@ -41,7 +41,6 @@ def hash_item(data) -> tuple:
 
 def hash_items(items: Iterable) -> np.ndarray:
     """List of str/bytes/int -> [n, 2] uint64 (lo, hi)."""
-    out = np.empty((len(items) if hasattr(items, "__len__") else 0, 2), dtype=np.uint64)
     vals: List = items if hasattr(items, "__len__") else list(items)
     out = np.empty((len(vals), 2), dtype=np.uint64)
     for i, it in enumerate(vals):
@@ -54,6 +53,85 @@ def hash_items(items: Iterable) -> np.ndarray:
 def random_items(n: int, rng: np.random.Generator) -> np.ndarray:
     """Synthetic 128-bit items (already in hash space), [n, 2] uint64."""
     return rng.integers(0, 1 << 64, size=(n, 2), dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------
+# item / label value types (reference item.h:32,96,177,294 — Item,
+# HashedItem, Label, EncryptedLabel, Bitstring) and the label encryptor
+# (reference util/label_encryptor.h: nonce + key-stretch AES encryption so
+# only a party KNOWING an item can read its label)
+# ---------------------------------------------------------------------
+from dataclasses import dataclass  # noqa: E402
+
+Label = bytes            # reference: Label = vector<unsigned char>
+EncryptedLabel = bytes
+
+
+@dataclass(frozen=True)
+class Bitstring:
+    """A value of an exact bit length (reference item.h:32-95)."""
+
+    data: bytes
+    bit_count: int
+
+    def __post_init__(self):
+        if len(self.data) != (self.bit_count + 7) // 8:
+            raise ValueError("data length inconsistent with bit_count")
+        rem = self.bit_count % 8
+        if rem and (self.data[-1] >> rem):
+            raise ValueError("padding bits of the last byte must be zero")
+
+
+@dataclass(frozen=True)
+class Item:
+    """128-bit item value; hashes arbitrary input like the reference's
+    Item::hash_to_value (item.cpp:13, Blake2b)."""
+
+    lo: int
+    hi: int
+
+    @staticmethod
+    def of(data) -> "Item":
+        lo, hi = hash_item(data)
+        return Item(lo, hi)
+
+    def to_array(self) -> np.ndarray:
+        return np.array([[self.lo, self.hi]], dtype=np.uint64)
+
+
+HashedItem = Item  # post-OPRF values share the representation
+
+
+def _label_key(item: np.ndarray, nonce: bytes, stretch: int = 2) -> bytes:
+    """Key-stretched per-item label key (reference label_encryptor.h)."""
+    seed = np.ascontiguousarray(item, dtype=np.uint64).tobytes() + nonce
+    k = seed
+    for _ in range(max(1, stretch)):
+        k = hashlib.blake2b(k, digest_size=32, person=b"apsu-lblkey").digest()
+    return k
+
+
+def encrypt_label(label: bytes, item: np.ndarray, nonce: bytes) -> bytes:
+    """AES-CTR encrypt a label under a key derived from (item, nonce); the
+    nonce is prepended so decrypt needs only the item."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    if len(nonce) != 16:
+        raise ValueError("nonce must be 16 bytes")
+    enc = Cipher(
+        algorithms.AES(_label_key(item, nonce)), modes.CTR(nonce)
+    ).encryptor()
+    return nonce + enc.update(bytes(label))
+
+
+def decrypt_label(blob: bytes, item: np.ndarray) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    nonce, ct = bytes(blob[:16]), bytes(blob[16:])
+    dec = Cipher(
+        algorithms.AES(_label_key(item, nonce)), modes.CTR(nonce)
+    ).decryptor()
+    return dec.update(ct)
 
 
 class LocFuncs:

@@ -9,6 +9,14 @@ cross), batched into a single OT-extension run over all (2m-1)·n/2 switches.
 
 Wire layout matches native/benes.cpp: level L pairs (a, a+2^dep) with
 dep = min(L, 2m-2-L), switch id (a >> (dep+1))·2^dep + (a & (2^dep - 1)).
+
+Bandwidth: the straight-path correction of every switch is DERIVED from the
+OT pad y0 (the holder defines its next-level wire masks as
+mask_out := mask_in ⊕ expand(y0)), so only the cross correction
+m1 ⊕ expand(y1) travels — 32 bytes/switch instead of 64 (the role of the
+reference's SilentOT/one-sided switch flavors, apsu_OSNSender.cpp:19-49).
+Benes routes can be disk-cached via APSU_BENES_CACHE_DIR (reference
+apsu_OSNSender.cpp:257-270).
 """
 
 from __future__ import annotations
@@ -36,19 +44,37 @@ def _lib() -> ctypes.CDLL:
 
 
 def benes_route(perm: np.ndarray) -> np.ndarray:
-    """perm [n] (perm[out] = in, n = 2^m) -> settings [levels, n/2] uint8."""
+    """perm [n] (perm[out] = in, n = 2^m) -> settings [levels, n/2] uint8.
+
+    Routes are cached to APSU_BENES_CACHE_DIR when set (keyed by the
+    permutation digest — the reference's benes disk cache)."""
     n = len(perm)
     m = n.bit_length() - 1
     assert 1 << m == n and n >= 2
     levels = 2 * m - 1
-    out = np.zeros(levels * (n // 2), dtype=np.uint8)
     p = np.ascontiguousarray(perm, dtype=np.int64)
+
+    cache_dir = os.environ.get("APSU_BENES_CACHE_DIR")
+    cache_path = None
+    if cache_dir:
+        import hashlib
+
+        digest = hashlib.sha256(p.tobytes()).hexdigest()[:32]
+        cache_path = os.path.join(cache_dir, f"benes-{n}-{digest}.npy")
+        if os.path.exists(cache_path):
+            return np.load(cache_path)
+
+    out = np.zeros(levels * (n // 2), dtype=np.uint8)
     _lib().benes_route(
         p.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(n),
         out.ctypes.data_as(ctypes.c_void_p),
     )
-    return out.reshape(levels, n // 2)
+    out = out.reshape(levels, n // 2)
+    if cache_path:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.save(cache_path, out)
+    return out
 
 
 def level_pairs(n: int) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -94,29 +120,29 @@ def osn_holder(ch: Duplex, values: np.ndarray, rng: np.random.Generator) -> np.n
     x[:n_real] = values
     x[n_real:] = rng.integers(0, 256, size=(n - n_real, 16), dtype=np.uint8)
 
-    # wire masks per level boundary: masks[0] on inputs ... masks[levels] outputs
-    masks = rng.integers(0, 256, size=(levels + 1, n, 16), dtype=np.uint8)
-
-    # OT messages per switch (level-major): straight/cross corrections
-    pairs = level_pairs(n)
-    m0 = np.empty((levels * half, 32), dtype=np.uint8)
-    m1 = np.empty((levels * half, 32), dtype=np.uint8)
-    for L, (a, b, sidx) in enumerate(pairs):
-        r_in_a, r_in_b = masks[L][a], masks[L][b]
-        r_out_a, r_out_b = masks[L + 1][a], masks[L + 1][b]
-        # OT index of switch s at level L is L*half + s
-        m0[L * half + sidx] = np.concatenate(
-            [r_in_a ^ r_out_a, r_in_b ^ r_out_b], axis=1
-        )
-        m1[L * half + sidx] = np.concatenate(
-            [r_in_b ^ r_out_a, r_in_a ^ r_out_b], axis=1
-        )
-
-    # one OT-extension batch for all switches (we are the OT sender)
+    # one OT-extension batch for all switches (we are the OT sender); the
+    # straight-path pads y0 BECOME the wire-mask chain, so only the cross
+    # corrections travel (32 B/switch instead of 64)
     y0, y1 = iknp_send(ch, levels * half, rng)
-    ch.send(
-        np.concatenate([m0 ^ _expand_pads(y0), m1 ^ _expand_pads(y1)], axis=1)
-    )
+    p0 = _expand_pads(y0)
+    p1 = _expand_pads(y1)
+
+    # wire masks per level boundary: masks[0] random; masks[L+1] derived
+    # from the straight pads so that m0 == expand(y0) needs no transmission
+    masks = np.empty((levels + 1, n, 16), dtype=np.uint8)
+    masks[0] = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    pairs = level_pairs(n)
+    e1 = np.empty((levels * half, 32), dtype=np.uint8)
+    for L, (a, b, sidx) in enumerate(pairs):
+        idx = L * half + sidx            # OT index of switch s at level L
+        r_in_a, r_in_b = masks[L][a], masks[L][b]
+        r_out_a = r_in_a ^ p0[idx, :16]
+        r_out_b = r_in_b ^ p0[idx, 16:]
+        masks[L + 1][a] = r_out_a
+        masks[L + 1][b] = r_out_b
+        m1 = np.concatenate([r_in_b ^ r_out_a, r_in_a ^ r_out_b], axis=1)
+        e1[idx] = m1 ^ p1[idx]
+    ch.send(e1)
     # masked inputs
     ch.send(x ^ masks[0])
     return masks[levels][:n_real].copy()
@@ -139,9 +165,10 @@ def osn_programmer(
 
     choices = settings.reshape(-1)
     y = iknp_recv(ch, choices, rng)            # [levels*half, 16]
-    e = ch.recv()                              # [levels*half, 64]
-    pick = np.where(choices.astype(bool)[:, None], e[:, 32:], e[:, :32])
-    corr = pick ^ _expand_pads(y)              # [levels*half, 32]
+    e1 = ch.recv()                             # [levels*half, 32] cross only
+    pe = _expand_pads(y)
+    # straight switches (c=0): correction IS expand(y0); cross: unmask e1
+    corr = np.where(choices.astype(bool)[:, None], e1 ^ pe, pe)
 
     v = ch.recv().copy()                       # masked inputs [n, 16]
     pairs = level_pairs(n)

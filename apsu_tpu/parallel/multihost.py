@@ -1,0 +1,184 @@
+"""Multi-host DB-party runtime: bundle-range partitioning over workers.
+
+The reference scales by adding BinBundles per bundle index on one machine
+(alpha_max_cache_count, receiver_osn.cpp:188-205); the 256M-4096 working
+set (~100+ GB of coefficient cache) exceeds one host, so the TPU build's
+scale-out axis is the bundle-index range (SURVEY §2.7 C4): worker w owns
+bundle indices [b0_w, b1_w) end to end — DB partition, power computation,
+evaluation — and the coordinator's result collection is a CONCAT over
+bundle ranges (SURVEY §5: no cross-host reduction exists in this protocol).
+
+Transport is any Duplex per worker (sockets across hosts / pipes in tests);
+each worker may itself be a multi-chip host by passing ``mesh`` to
+``db_worker`` (its queries then run through ShardedReceiver).  The
+coordinator↔worker links are intra-party (one trust domain): OPRF keys and
+masks travel over them, never to the query party.
+
+OPRF backends: the fixed-key ECDH/debug backends share one key across
+workers (each evaluates its partition offline).  The slot-bound KKRT
+correlation is inherently a single two-party session and is not supported
+distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apsu_tpu.api.parties import QueryRequest, QueryResponse, Receiver
+from apsu_tpu.core.params import PSUParams
+from apsu_tpu.db.receiver_db import ReceiverDB
+from apsu_tpu.mpc.duplex import Duplex
+from apsu_tpu.mpc.oprf import DebugOprf, EcdhOprfServer
+from apsu_tpu.mpc.prg import CsRng
+
+
+def partition_bundles(n_bundles: int, n_workers: int) -> List[Tuple[int, int]]:
+    """Contiguous near-even bundle ranges, one per worker."""
+    base = n_bundles // n_workers
+    extra = n_bundles % n_workers
+    out = []
+    b = 0
+    for w in range(n_workers):
+        size = base + (1 if w < extra else 0)
+        out.append((b, b + size))
+        b += size
+    return out
+
+
+def db_worker(ch: Duplex, params: PSUParams, mesh=None, rng=None) -> None:
+    """One DB-party worker process: builds its bundle-range partition, then
+    serves query slices until "bye"."""
+    rng = rng if rng is not None else CsRng()
+    b0, b1 = (int(x) for x in ch.recv())
+    kind = bytes(ch.recv()).decode()
+    key_bytes = bytes(ch.recv())
+    if kind == "ecdh":
+        oprf = EcdhOprfServer(rng, key=int.from_bytes(key_bytes, "little"))
+    else:
+        oprf = DebugOprf(int.from_bytes(key_bytes, "little"))
+    items = ch.recv()
+
+    db = ReceiverDB(params, oprf, bundle_range=(b0, b1))
+    db.set_data(items)
+    if mesh is not None:
+        from apsu_tpu.parallel.runtime import ShardedReceiver
+
+        recv = ShardedReceiver(params, db, mesh, rng=rng)
+    else:
+        recv = Receiver(params, db, rng=rng)
+    ch.send(np.array([db.coeff_cache.shape[1]], dtype=np.int64))  # local C
+
+    while True:
+        op = bytes(ch.recv()).decode()
+        if op == "bye":
+            break
+        assert op == "query"
+        plist = tuple(int(x) for x in ch.recv())
+        powers_slice = ch.recv()               # [P, B_w, 2, L, N]
+        rk = ch.recv()
+        rk = None if isinstance(rk, bytes) else jnp.asarray(rk)
+        resp = recv.run_query(
+            QueryRequest(
+                power_list=plist,
+                powers_data=jnp.asarray(powers_slice),
+                relin_key=rk,
+            )
+        )
+        ch.send(jax.device_get(resp.results))  # [B_w, C_w, 2, Lr, N]
+        ch.send(np.array([resp.eval_level], dtype=np.int64))
+        ch.send(recv.last_mask)                # [B_w, C_w, N]
+
+
+class DistributedReceiver:
+    """Coordinator: drop-in Receiver for a bundle-partitioned multi-host DB.
+
+    run_query scatters per-worker power slices and concatenates result
+    slices (padding the cache axis to the global max — absent caches get
+    zero ciphertexts and never-matching all-one masks, the reference's
+    padding at receiver_osn.cpp:241-248)."""
+
+    def __init__(
+        self,
+        params: PSUParams,
+        worker_channels: Sequence[Duplex],
+        items: np.ndarray,
+        oprf_kind: str = "debug",
+        oprf_key: Optional[int] = None,
+        rng=None,
+    ):
+        self.params = params
+        self.chs = list(worker_channels)
+        self.rng = rng if rng is not None else CsRng()
+        self.ranges = partition_bundles(params.bundle_idx_count, len(self.chs))
+        if oprf_key is None:
+            oprf_key = int.from_bytes(self.rng.bytes(16), "little")
+        self.oprf = (
+            EcdhOprfServer(self.rng, key=oprf_key)
+            if oprf_kind == "ecdh"
+            else DebugOprf(oprf_key)
+        )
+        key_bytes = int(oprf_key).to_bytes(32, "little")
+
+        # route items: every worker gets the items with >= 1 cuckoo location
+        # in its range (its set_data filters precisely)
+        from apsu_tpu.hash.items import LocFuncs
+
+        locs = LocFuncs(
+            params.table_params.table_size, params.table_params.hash_func_count
+        ).locations(items)
+        ipb = params.items_per_bundle
+        bundles = locs // ipb                                 # [n, h]
+        for ch, (b0, b1) in zip(self.chs, self.ranges):
+            take = ((bundles >= b0) & (bundles < b1)).any(axis=1)
+            ch.send(np.array([b0, b1], dtype=np.int64))
+            ch.send(oprf_kind.encode())
+            ch.send(key_bytes)
+            ch.send(np.ascontiguousarray(items[take]))
+        self.worker_C = [int(ch.recv()[0]) for ch in self.chs]
+        self.C = max(self.worker_C)
+        self.last_mask: Optional[np.ndarray] = None
+        self.eval_level: Optional[int] = None
+
+    def run_query(self, req: QueryRequest) -> QueryResponse:
+        p = self.params
+        powers = jax.device_get(req.powers_data)     # [P, B, 2, L, N]
+        rk = (
+            jax.device_get(req.relin_key) if req.relin_key is not None else b"none"
+        )
+        for ch, (b0, b1) in zip(self.chs, self.ranges):
+            ch.send(b"query")
+            ch.send(np.asarray(req.power_list, dtype=np.int64))
+            ch.send(np.ascontiguousarray(powers[:, b0:b1]))
+            ch.send(rk)
+        res_parts, mask_parts = [], []
+        lvl = None
+        for ch, cw in zip(self.chs, self.worker_C):
+            r = np.asarray(ch.recv())                # [B_w, C_w, 2, Lr, N]
+            lvl = int(ch.recv()[0])
+            m = np.asarray(ch.recv())                # [B_w, C_w, N]
+            if cw < self.C:
+                pad = self.C - cw
+                r = np.concatenate(
+                    [r, np.zeros(r.shape[:1] + (pad,) + r.shape[2:], r.dtype)], axis=1
+                )
+                m = np.concatenate(
+                    [m, np.ones(m.shape[:1] + (pad, m.shape[-1]), m.dtype)], axis=1
+                )
+            res_parts.append(r)
+            mask_parts.append(m)
+        self.last_mask = np.concatenate(mask_parts)  # [B, C, N]
+        self.eval_level = lvl
+        return QueryResponse(results=np.concatenate(res_parts), eval_level=lvl)
+
+    def peqt_matrix(self) -> np.ndarray:
+        from apsu_tpu.api.parties import _slots_to_item_blocks
+
+        return _slots_to_item_blocks(self.params, self.last_mask)
+
+    def close(self) -> None:
+        for ch in self.chs:
+            ch.send(b"bye")

@@ -403,8 +403,8 @@ class ShardedReceiver(Receiver):
             if req.relin_key is not None
             else None
         )
-        C = self.db.coeff_cache.shape[1]
-        B, N = p.bundle_idx_count, p.poly_degree
+        B, C = self.db.coeff_cache.shape[0], self.db.coeff_cache.shape[1]
+        N = p.poly_degree
         t = p.seal_params.plain_modulus
         mask = self.rng.integers(0, t, size=(B, C, N), dtype=np.uint64).astype(
             np.uint32

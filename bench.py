@@ -1,105 +1,205 @@
-"""Benchmark: sender homomorphic-eval throughput (bundles/sec/chip).
+"""Benchmark: production PS query throughput on the 16M-4096 workload.
 
-Measures the hot kernel of the PSU online phase — the batched matching-
-polynomial evaluation (reference: ``BatchedPlaintextPolyn::eval`` over every
-(bundle_idx, cache), /root/reference/receiver/apsu/bin_bundle.cpp:106-174,
-driven by receiver_osn.cpp:490-540; note the reference's party naming calls
-this the *receiver*, BASELINE.json uses APSI naming "sender") — on the
-16M-4096 workload shape: N=8192, degree 1304 dot product, 4 bundle indices ×
-6 caches = 24 bundle evaluations per query.
+Times the receiver's FULL online phase — ``Receiver.run_query`` on a real
+encrypted query through the production Paterson-Stockmeyer pipeline (power
+wavefront: 6 source powers -> x^1..x^44 and y^1..y^28 with batched BEHZ
+multiplies + relinearizations; then per-(bundle, cache) inner dot products,
+batched BEHZ outer products, one relinearization, mod-switch, masking) at
+the exact 16M-4096 shape: N=8192, K=1304, ps_low_degree=44, 4 bundle
+indices × 6 caches = 24 bundle evaluations per query (reference hot stack:
+receiver_osn.cpp:140-540 + bin_bundle.cpp:192-360).
 
-Baseline (vs_baseline denominator): the reference's per-bundle eval is 1304
-NTT-domain multiply-accumulates over [L=4, N=8192] uint64 per component.
-SEAL's AVX multiply_plain at N=8192/L=4 costs ≈0.6 ms on one core (SEAL 4.x
-microbenchmarks), so a 32-thread server sustains ≈ 32 / (1304·0.0006) ≈ 41
-bundles/s.  BASELINE.json publishes no measured numbers ("published": {}),
-so 41 bundles/s is the documented estimate used as the denominator.
+The coefficient cache is synthetic random data at the correct shapes/levels
+(the Montgomery datapath is data-independent, so throughput is identical to
+a real cache; building a real 16M cache takes ~days of bench budget).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (vs_baseline denominator): the reference's per-bundle PS eval is
+dominated by the same degree-1304 NTT-domain multiply-accumulate; SEAL's
+AVX multiply_plain at N=8192/L=4 costs ≈0.6 ms/core, so a 32-thread server
+sustains ≈ 32/(1304·0.0006) ≈ 41 bundles/s (BASELINE.json publishes no
+measured numbers; this documented estimate is the denominator).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 REF_BASELINE_BUNDLES_PER_SEC = 41.0
+TIME_BUDGET_S = 560.0  # the driver runs `timeout 600 python bench.py`
+_T0 = time.perf_counter()
 
 
-def main():
+def _left() -> float:
+    return TIME_BUDGET_S - (time.perf_counter() - _T0)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}", file=sys.stderr)
+
+
+def _hot_kernel_metric(params, bfv):
+    """Fallback metric: the batched matching-poly eval kernel alone at the
+    16M-4096 shape (deg-1304 dot product; round-1's headline kernel)."""
     import jax
     import jax.numpy as jnp
 
-    from apsu_tpu.core.params import PSUParams
-    from apsu_tpu.core.bfv import BfvContext
     from apsu_tpu.engine.evaluator import eval_matching_polys
+    from apsu_tpu.ops.polyeval import DEG_CHUNK
 
-    # the 16M-4096 parameter set (mirrors /root/reference/parameters/16M-4096.json)
-    params = PSUParams.from_dict(
-        {
-            "table_params": {
-                "hash_func_count": 3,
-                "table_size": 6552,
-                "max_items_per_bin": 1304,
-            },
-            "item_params": {"felts_per_item": 5},
-            "query_params": {"ps_low_degree": 44, "query_powers": [1, 3, 11, 18, 45, 225]},
-            "seal_params": {
-                "plain_modulus_bits": 22,
-                "poly_modulus_degree": 8192,
-                "coeff_modulus_bits": [56, 56, 56, 50],
-            },
-        }
-    )
-    bfv = BfvContext(params.seal_params)
     B, C = 4, 6
-    K = params.table_params.max_items_per_bin      # 1304
-    N = params.poly_degree
+    K, N = params.table_params.max_items_per_bin, params.poly_degree
     lvl = min(3, len(bfv.q_primes))
     L = lvl
-
-    # Random operands generated ON DEVICE (values are irrelevant for
-    # throughput: the Montgomery datapath is data-independent).
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     mk = lambda k, shape: jax.random.randint(
         k, shape, 0, 1 << 20, dtype=jnp.int32
     ).astype(jnp.uint32)
-    from apsu_tpu.ops.polyeval import DEG_CHUNK
-
     planes = (K + 1 + DEG_CHUNK - 1) // DEG_CHUNK * DEG_CHUNK
     powers = mk(k1, (B, K, 2, L, N))
     cache = mk(k2, (B, C, planes, L, N))
     const_s = mk(k3, (B, C, N)) % jnp.uint32(bfv.t)
     mask_s = mk(k4, (B, C, N)) % jnp.uint32(bfv.t)
+    chk = jax.jit(lambda o: jnp.sum(o, dtype=jnp.uint32))
+    out = eval_matching_polys(bfv, powers, cache, const_s, mask_s, lvl)
+    jax.device_get(chk(out.data))
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eval_matching_polys(bfv, powers, cache, const_s, mask_s, lvl)
+        jax.device_get(chk(out.data))
+    dt = (time.perf_counter() - t0) / iters
+    return B * C / dt
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: the remote compiler's latency is erratic
+    # (minutes-scale for the full PS chain); cached executables make repeat
+    # bench runs on this machine start warm
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from apsu_tpu.api.parties import QueryRequest, Receiver, _pow_mod
+    from apsu_tpu.core.bfv import BfvContext
+    from apsu_tpu.core.params import PSUParams
+    from apsu_tpu.db.receiver_db import ReceiverDB
+    from apsu_tpu.mpc.prg import CsRng
+    from apsu_tpu.ops.polyeval import DEG_CHUNK
+
+    params = PSUParams.load_file("parameters/16M-4096.json")
+    tp, qp = params.table_params, params.query_params
+    B, C = params.bundle_idx_count, 6  # 6 caches/bundle at 16.7M items (r1)
+    K, N = tp.max_items_per_bin, params.poly_degree
+    t = params.seal_params.plain_modulus
+
+    db = ReceiverDB(params, oprf=None)
+    lvl = db.ps_level()
+    L = db.bfv.levels[lvl].k
+    ph = qp.ps_low_degree + 1
+    nh = K // ph
+    min_planes = max(K + 1, nh * ph + qp.ps_low_degree + 1)
+    planes = -(-min_planes // DEG_CHUNK) * DEG_CHUNK
+
+    # synthetic cache at production shapes/levels (values irrelevant for
+    # throughput; generated on device to skip a multi-GB host transfer)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    mk = lambda k, shape, hi: jax.random.randint(
+        k, shape, 0, hi, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    db.coeff_cache = mk(k1, (B, C, planes, L, N), 1 << 20)
+    db.ps_const_polys = mk(k2, (B, C, nh + 1, N), int(t))
+    db.const_slots = None
+    db.eval_lvl = lvl
+    db.result_lvl = db.result_level()
+
+    # real encrypted query: source powers of a random query vector
+    rng = CsRng(b"bench-16M-4096-query-key0")
+    bfv = db.bfv
+    sk = bfv.gen_secret_key(rng)
+    rk = bfv.gen_relin_key(sk, rng)
+    qvec = np.asarray(
+        rng.integers(1, t, size=(B, N), dtype=np.uint64)
+    ).astype(np.uint32)
+    plist = tuple(qp.query_powers)
+    stack = np.stack(
+        [_pow_mod(qvec.astype(np.uint64), s, t).astype(np.uint32) for s in plist]
+    )
+    ct = bfv.encrypt_symmetric(bfv.encode(stack), sk, rng)
+    req = QueryRequest(power_list=plist, powers_data=ct.data, relin_key=rk.ksk)
+    recv = Receiver(params, db, rng=CsRng(b"bench-16M-4096-recv-key0"))
 
     # NOTE: block_until_ready is unreliable over the axon tunnel (returns
     # before execution completes); force completion with a scalar checksum
     # readback instead.
     chk = jax.jit(lambda o: jnp.sum(o, dtype=jnp.uint32))
 
-    # compile + warm up
-    out = eval_matching_polys(bfv, powers, cache, const_s, mask_s, lvl)
-    jax.device_get(chk(out.data))
+    # Phase 1 (guaranteed): hot-kernel metric — known to compile in budget.
+    _log("phase 1: hot-kernel metric")
+    hot_bundles = _hot_kernel_metric(params, bfv)
+    _log(f"hot kernel: {hot_bundles:.1f} bundles/s")
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = eval_matching_polys(bfv, powers, cache, const_s, mask_s, lvl)
-        jax.device_get(chk(out.data))
-    dt = time.perf_counter() - t0
+    # Phase 2 (best effort): the PRODUCTION PS warm query.  First compile of
+    # the full chain can exceed the bench budget on a cold compilation
+    # cache; fall back to the hot-kernel number when time runs short.
+    ps_warm_s = None
+    compile_s = None
+    if _left() > 120:
+        try:
+            _log("phase 2: production PS query (compile)")
+            t0 = time.perf_counter()
+            resp = recv.run_query(req)
+            jax.device_get(chk(resp.results))
+            compile_s = time.perf_counter() - t0
+            _log(f"PS first call {compile_s:.1f}s; timing warm queries")
+            iters = 3 if _left() > 60 else 1
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                resp = recv.run_query(req)
+                jax.device_get(chk(resp.results))
+            ps_warm_s = (time.perf_counter() - t0) / iters
+            _log(f"PS warm query {ps_warm_s:.3f}s")
+        except Exception as e:  # pragma: no cover - keep the JSON line alive
+            _log(f"PS phase failed: {e}")
 
-    bundles_per_sec = B * C * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "sender homomorphic-eval throughput (16M-4096 shape)",
-                "value": round(bundles_per_sec, 2),
-                "unit": "bundles/sec/chip",
-                "vs_baseline": round(bundles_per_sec / REF_BASELINE_BUNDLES_PER_SEC, 2),
-            }
-        )
-    )
+    if ps_warm_s is not None:
+        bundles_per_sec = B * C / ps_warm_s
+        out = {
+            "metric": "production PS warm-query throughput (16M-4096)",
+            "value": round(bundles_per_sec, 2),
+            "unit": "bundles/sec/chip",
+            "vs_baseline": round(bundles_per_sec / REF_BASELINE_BUNDLES_PER_SEC, 2),
+            "extra": {
+                "warm_query_s": round(ps_warm_s, 4),
+                "first_call_s": round(compile_s, 1),
+                "bundles_per_query": B * C,
+                "hot_kernel_bundles_per_sec": round(hot_bundles, 1),
+                "includes": "powers wavefront + PS eval + mask (Receiver.run_query)",
+            },
+        }
+    else:
+        out = {
+            "metric": "sender homomorphic-eval throughput (16M-4096 shape)",
+            "value": round(hot_bundles, 2),
+            "unit": "bundles/sec/chip",
+            "vs_baseline": round(hot_bundles / REF_BASELINE_BUNDLES_PER_SEC, 2),
+            "extra": {
+                "note": "production PS metric skipped (compile budget); "
+                "kernel-only number, see bench.py phase 2",
+            },
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
