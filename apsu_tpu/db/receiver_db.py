@@ -215,6 +215,23 @@ class ReceiverDB:
                     felt_sets.setdefault((s, c, f), set()).add(int(felts[i, f]))
             C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
 
+        # cache-axis partition: keep only caches [c0, c1) (ranks are
+        # computed over the FULL insertion set first, so every worker of
+        # one bundle range derives identical (cache, depth) assignments)
+        slot_counts_full = np.bincount(slots, minlength=tp.table_size)[
+            lo_slot:hi_slot
+        ]
+        cache_base = 0
+        if self.cache_range is not None:
+            if label_felts is not None:
+                raise ValueError("labeled mode does not support cache_range")
+            c0r, c1r = self.cache_range
+            in_c = (cache_idx >= c0r) & (cache_idx < c1r)
+            slots, rep, felts = slots[in_c], rep[in_c], felts[in_c]
+            cache_idx, depth = cache_idx[in_c] - c0r, depth[in_c]
+            C = c1r - c0r
+            cache_base = c0r
+
         # 5. dense roots tensor + per-lane counts
         bundle_idx = slots // ipb - b0
         lane = (slots % ipb) * fpi
@@ -227,17 +244,20 @@ class ReceiverDB:
             label_vals = np.zeros((B, C, K, N), dtype=np.uint32)
             for f in range(fpi):
                 label_vals[bundle_idx, cache_idx, depth, lane + f] = label_felts[:, f]
-        slot_counts = np.bincount(slots, minlength=tp.table_size)[lo_slot:hi_slot]
+        slot_counts = slot_counts_full
         per_bundle_caches = np.zeros(B, dtype=np.int64)
         sidx = np.arange(lo_slot, hi_slot)
         sb = sidx // ipb - b0
         sl = (sidx % ipb) * fpi
-        # per-(slot, cache) fills: dense rank filling in the unlabeled path,
-        # the actual collision-aware placement in the labeled path
+        # per-(slot, cache) fills: dense rank filling in the unlabeled path
+        # (cache index global = local + cache_base), the actual
+        # collision-aware placement in the labeled path
         slot_cache_cnt = np.zeros((len(sidx), C), dtype=np.int32)
         if label_felts is None:
             for c in range(C):
-                slot_cache_cnt[:, c] = np.clip(slot_counts - c * K, 0, K)
+                slot_cache_cnt[:, c] = np.clip(
+                    slot_counts - (c + cache_base) * K, 0, K
+                )
         else:
             np.add.at(slot_cache_cnt, (slots - lo_slot, cache_idx), 1)
         for c in range(C):
@@ -263,9 +283,17 @@ class ReceiverDB:
             cache_counts=per_bundle_caches,
             max_bin_load=int(slot_counts.max()) if len(slot_counts) else 0,
         )
-        if self.stats.max_bin_load > K * C:
+        if self.cache_range is None and self.stats.max_bin_load > K * C:
             raise ValueError("bin overflow beyond cache capacity")
         return self.stats
+
+    # incremental mutation needs the full cache axis (bin overflow spills
+    # across cache ranges)
+    def _check_full_cache_axis(self) -> None:
+        if self.cache_range is not None:
+            raise ValueError(
+                "cache-partitioned DBs are build-once (no incremental ops)"
+            )
 
     # ------------------------------------------------------------------
     def _build_cache(
@@ -566,6 +594,7 @@ class ReceiverDB:
     # indices (each ~1/B of the cache), instead of a full set_data.
     # ------------------------------------------------------------------
     def _require_mutable(self) -> None:
+        self._check_full_cache_axis()
         if self._roots is None:
             raise ValueError(
                 "DB was stripped (or never built via set_data): incremental "

@@ -50,10 +50,10 @@ def partition_bundles(n_bundles: int, n_workers: int) -> List[Tuple[int, int]]:
 
 
 def db_worker(ch: Duplex, params: PSUParams, mesh=None, rng=None) -> None:
-    """One DB-party worker process: builds its bundle-range partition, then
-    serves query slices until "bye"."""
+    """One DB-party worker process: builds its (bundle-range × cache-range)
+    partition, then serves query slices until "bye"."""
     rng = rng if rng is not None else CsRng()
-    b0, b1 = (int(x) for x in ch.recv())
+    b0, b1, c0, c1 = (int(x) for x in ch.recv())
     kind = bytes(ch.recv()).decode()
     key_bytes = bytes(ch.recv())
     if kind == "ecdh":
@@ -62,7 +62,12 @@ def db_worker(ch: Duplex, params: PSUParams, mesh=None, rng=None) -> None:
         oprf = DebugOprf(int.from_bytes(key_bytes, "little"))
     items = ch.recv()
 
-    db = ReceiverDB(params, oprf, bundle_range=(b0, b1))
+    db = ReceiverDB(
+        params,
+        oprf,
+        bundle_range=(b0, b1),
+        cache_range=(c0, c1) if c0 >= 0 else None,
+    )
     db.set_data(items)
     if mesh is not None:
         from apsu_tpu.parallel.runtime import ShardedReceiver
@@ -109,11 +114,20 @@ class DistributedReceiver:
         oprf_kind: str = "debug",
         oprf_key: Optional[int] = None,
         rng=None,
+        cache_parts: int = 1,
     ):
+        """cache_parts > 1 splits each bundle range's cache axis across that
+        many workers (len(worker_channels) must be bundle_parts·cache_parts;
+        workers ordered bundle-major) — the 256M-4096 partitioning where the
+        cache axis (~32/bundle) dwarfs the bundle axis (3)."""
         self.params = params
         self.chs = list(worker_channels)
         self.rng = rng if rng is not None else CsRng()
-        self.ranges = partition_bundles(params.bundle_idx_count, len(self.chs))
+        if len(self.chs) % cache_parts:
+            raise ValueError("worker count must divide into cache_parts")
+        n_bparts = len(self.chs) // cache_parts
+        self.cache_parts = cache_parts
+        branges = partition_bundles(params.bundle_idx_count, n_bparts)
         if oprf_key is None:
             oprf_key = int.from_bytes(self.rng.bytes(16), "little")
         self.oprf = (
@@ -124,46 +138,77 @@ class DistributedReceiver:
         key_bytes = int(oprf_key).to_bytes(32, "little")
 
         # route items: every worker gets the items with >= 1 cuckoo location
-        # in its range (its set_data filters precisely)
+        # in its bundle range (its set_data filters precisely)
         from apsu_tpu.hash.items import LocFuncs
 
-        locs = LocFuncs(
-            params.table_params.table_size, params.table_params.hash_func_count
-        ).locations(items)
+        tp = params.table_params
+        locs = LocFuncs(tp.table_size, tp.hash_func_count).locations(items)
         ipb = params.items_per_bundle
         bundles = locs // ipb                                 # [n, h]
-        for ch, (b0, b1) in zip(self.chs, self.ranges):
+        if cache_parts > 1:
+            # global cache count from the (deduped) insertion loads: the
+            # cache ranges must be agreed before workers build
+            pairs = np.stack(
+                [np.repeat(np.arange(len(items)), tp.hash_func_count), locs.reshape(-1)]
+            )
+            uniq = np.unique(pairs, axis=1)
+            loads = np.bincount(uniq[1], minlength=tp.table_size)
+            K = tp.max_items_per_bin
+            C_total = max(1, -(-int(loads.max()) // K))
+            cranges = partition_bundles(C_total, cache_parts)
+        else:
+            cranges = [(-1, -1)]
+        self.ranges = []
+        for b0, b1 in branges:
+            for c0, c1 in cranges:
+                self.ranges.append((b0, b1, c0, c1))
+        for ch, (b0, b1, c0, c1) in zip(self.chs, self.ranges):
             take = ((bundles >= b0) & (bundles < b1)).any(axis=1)
-            ch.send(np.array([b0, b1], dtype=np.int64))
+            ch.send(np.array([b0, b1, c0, c1], dtype=np.int64))
             ch.send(oprf_kind.encode())
             ch.send(key_bytes)
             ch.send(np.ascontiguousarray(items[take]))
         self.worker_C = [int(ch.recv()[0]) for ch in self.chs]
-        self.C = max(self.worker_C)
+        # max caches of one assembled bundle row
+        self.C = max(
+            sum(self.worker_C[i * cache_parts : (i + 1) * cache_parts])
+            if cache_parts > 1
+            else self.worker_C[i]
+            for i in range(n_bparts)
+        )
         self.last_mask: Optional[np.ndarray] = None
         self.eval_level: Optional[int] = None
 
     def run_query(self, req: QueryRequest) -> QueryResponse:
-        p = self.params
         powers = jax.device_get(req.powers_data)     # [P, B, 2, L, N]
         rk = (
             jax.device_get(req.relin_key) if req.relin_key is not None else b"none"
         )
-        for ch, (b0, b1) in zip(self.chs, self.ranges):
+        for ch, (b0, b1, _, _) in zip(self.chs, self.ranges):
             ch.send(b"query")
             ch.send(np.asarray(req.power_list, dtype=np.int64))
             ch.send(np.ascontiguousarray(powers[:, b0:b1]))
             ch.send(rk)
-        res_parts, mask_parts = [], []
+        raw = []
         lvl = None
-        for ch, cw in zip(self.chs, self.worker_C):
+        for ch in self.chs:
             r = np.asarray(ch.recv())                # [B_w, C_w, 2, Lr, N]
             lvl = int(ch.recv()[0])
             m = np.asarray(ch.recv())                # [B_w, C_w, N]
-            if cw < self.C:
-                pad = self.C - cw
+            raw.append((r, m))
+        # assemble: concat cache slices within each bundle row, pad the row
+        # to the global C (absent caches: zero cts + never-matching all-one
+        # masks, receiver_osn.cpp:241-248), then concat bundle rows
+        cp = self.cache_parts
+        res_parts, mask_parts = [], []
+        for i in range(0, len(raw), cp):
+            r = np.concatenate([x[0] for x in raw[i : i + cp]], axis=1)
+            m = np.concatenate([x[1] for x in raw[i : i + cp]], axis=1)
+            if r.shape[1] < self.C:
+                pad = self.C - r.shape[1]
                 r = np.concatenate(
-                    [r, np.zeros(r.shape[:1] + (pad,) + r.shape[2:], r.dtype)], axis=1
+                    [r, np.zeros(r.shape[:1] + (pad,) + r.shape[2:], r.dtype)],
+                    axis=1,
                 )
                 m = np.concatenate(
                     [m, np.ones(m.shape[:1] + (pad, m.shape[-1]), m.dtype)], axis=1

@@ -48,6 +48,55 @@ def test_partition_bundles():
     assert partition_bundles(3, 3) == [(0, 1), (1, 2), (2, 3)]
 
 
+def test_distributed_receiver_grid_bundle_x_cache():
+    """2×2 grid: bundle ranges × cache ranges (the 256M-4096 partitioning:
+    the cache axis dwarfs the bundle axis)."""
+    rng = np.random.default_rng(52)
+    params = _multibundle_params()
+    # enough items that bins overflow into several caches
+    db_items = rng.integers(0, 1 << 64, size=(700, 2), dtype=np.uint64)
+    query = np.concatenate(
+        [
+            rng.integers(0, 1 << 64, size=(25, 2), dtype=np.uint64),
+            db_items[rng.choice(700, size=12, replace=False)],
+        ]
+    )
+
+    pairs = [pipe_pair() for _ in range(4)]
+    errs = []
+    workers = []
+    for i, (_, wch) in enumerate(pairs):
+        def run(ch=wch, i=i):
+            try:
+                db_worker(ch, params, rng=CsRng(b"mh-grid-worker-%08d-key" % i))
+            except Exception as e:
+                errs.append(e)
+
+        th = threading.Thread(target=run)
+        th.start()
+        workers.append(th)
+
+    dist = DistributedReceiver(
+        params,
+        [c for c, _ in pairs],
+        db_items,
+        oprf_kind="debug",
+        oprf_key=0x5EED,
+        rng=CsRng(b"mh-grid-coordinator-key1"),
+        cache_parts=2,
+    )
+    try:
+        assert len({r[2:] for r in dist.ranges}) > 1  # real cache split
+        res = run_psu(params, query, db_items, oprf_key=0x5EED, receiver=dist)
+        check_oracle(db_items, query, res)
+    finally:
+        dist.close()
+        for th in workers:
+            th.join()
+    if errs:
+        raise errs[0]
+
+
 def test_distributed_receiver_two_workers():
     rng = np.random.default_rng(51)
     params = _multibundle_params()
