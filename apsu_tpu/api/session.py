@@ -122,8 +122,10 @@ class QueryClient:
             params, oprf=None, rng=self.rng, oprf_factory=self._oprf_factory
         )
         t0 = time.perf_counter()
+        mark_o = t.bytes_sent + t.bytes_received
         req = snd.create_query(items)
         timings["create_query"] = time.perf_counter() - t0
+        timings["oprf_bytes"] = t.bytes_sent + t.bytes_received - mark_o
 
         meta = {
             "power_list": [int(x) for x in req.power_list],
@@ -172,6 +174,7 @@ class QueryClient:
             payload_by_slot[snd.cuckoo.filled] = payloads[idx[snd.cuckoo.filled]]
         eg = t.scoped(OP_ENDGAME)
         t0 = time.perf_counter()
+        mark_e = t.bytes_sent + t.bytes_received
         if mode == "union":
             endgame_query_side(
                 eg, blocks, payload_by_slot, snd.cuckoo.filled, self.rng, peqt=peqt
@@ -185,6 +188,7 @@ class QueryClient:
                 vals[snd.cuckoo.filled] = values[idx[snd.cuckoo.filled]]
             cardsum_query_side(eg, blocks, vals, snd.cuckoo.filled, self.rng, peqt=peqt)
         timings["endgame"] = time.perf_counter() - t0
+        timings["endgame_bytes"] = t.bytes_sent + t.bytes_received - mark_e
 
     def close(self) -> None:
         self.t.send_op(OP_BYE, b"")

@@ -78,8 +78,41 @@ class NttContext:
         """Broadcastable per-limb constant: [L] -> [L, 1, 1, ...]."""
         return jnp.asarray(arr).reshape((self.L,) + (1,) * extra_dims)
 
+    def _pallas_mode(self) -> bool:
+        """Route transforms through the fused Pallas kernel
+        (ops/ntt_pallas.py) — bit-identical to the staged XLA path, measured
+        13% faster and ~3x faster to compile on v5e (tools/ntt_bench.py:
+        1.68 ms vs 1.92 ms per [64,7,8192] transform).  Default ON for
+        TPU-sized transforms; APSU_PALLAS_NTT=0 forces the XLA path."""
+        import os
+
+        import jax
+
+        return os.environ.get("APSU_PALLAS_NTT", "1") != "0" and (
+            jax.default_backend() != "cpu" and self.n >= 1024
+        )
+
+    def _stage_tables(self):
+        if not hasattr(self, "_stage_tw"):
+            from apsu_tpu.ops.ntt_pallas import stage_twiddles
+
+            self._stage_tw = (
+                stage_twiddles(self.w, self.n, inverse=False),
+                stage_twiddles(self.winv, self.n, inverse=True),
+            )
+        return self._stage_tw
+
     def ntt(self, x):
         """Forward negacyclic NTT over the last axis. x: [..., L, N] mont."""
+        if self._pallas_mode():
+            from apsu_tpu.ops.ntt_pallas import ntt_pallas
+
+            tw_f, _ = self._stage_tables()
+            return ntt_pallas(
+                x, tw_f,
+                np.asarray(self.consts.p, np.uint32),
+                np.asarray(self.consts.p_neg_inv, np.uint32),
+            )
         n, L = self.n, self.L
         w = jnp.asarray(self.w)
         lead = x.shape[:-2]
@@ -98,6 +131,17 @@ class NttContext:
 
     def intt(self, x):
         """Inverse transform (exact reversal of ntt stages) + N^{-1} scale."""
+        if self._pallas_mode():
+            from apsu_tpu.ops.ntt_pallas import ntt_pallas
+
+            _, tw_i = self._stage_tables()
+            return ntt_pallas(
+                x, tw_i,
+                np.asarray(self.consts.p, np.uint32),
+                np.asarray(self.consts.p_neg_inv, np.uint32),
+                inverse=True,
+                ninv_np=np.asarray(self.ninv, np.uint32),
+            )
         n, L = self.n, self.L
         winv = jnp.asarray(self.winv)
         lead = x.shape[:-2]

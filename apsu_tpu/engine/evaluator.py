@@ -327,11 +327,20 @@ def eval_matching_polys_ps(
     # product, k-sum, relinearize, mod-switch, mask — as a single fused
     # device program, replacing the former B·C Python-serialized dispatches
     # (24 at 16M scale) with ceil(B·C / row_chunk).  The chunk size bounds
-    # the full-level BEHZ temporaries (~nh·3·(L+L_bsk)·N·4 bytes per row;
-    # the coefficient cache itself already occupies most of HBM at 16M).
+    # peak HBM: one row's BEHZ working set is ~nh·3·(L_q+L_bsk)·N·4 bytes
+    # times ~4 live copies (operand lifts in both bases + NTT temporaries),
+    # ~1.3 GB at the 16M shape — and the coefficient cache itself already
+    # holds several GB of the chip.
     rows = B * C
-    bytes_per_row = nh * 3 * (2 * q.k + 6) * N * 4 * 3
-    row_chunk = int(max(1, min(rows, (2 << 30) // max(1, bytes_per_row))))
+    Lb = bfv._mul_ctx(lvl)["bsk"].k
+    # per-row peak: BEHZ working set (~4 live copies across q ∪ Bsk) plus
+    # the row's cache slice (argument layout copies count double)
+    behz_bytes_per_row = nh * 3 * (q.k + Lb) * N * 4 * 4
+    cache_bytes = int(np.prod(coeff_cache.shape)) * 4
+    cache_bytes_per_row = cache_bytes // rows
+    row_bytes = behz_bytes_per_row + 2 * cache_bytes_per_row
+    budget = max(1 << 30, (10 << 30) - cache_bytes)
+    row_chunk = int(max(1, min(rows, budget // max(1, row_bytes))))
 
     rbase = bfv.levels[result_level]
     cache_rows = coeff_cache.reshape((rows,) + coeff_cache.shape[2:])
@@ -341,11 +350,19 @@ def eval_matching_polys_ps(
 
     def rows_impl(cache_r, const_r, mask_r, low_r, high_r, ksk):
         R = cache_r.shape[0]
-        base_idx = jnp.arange(nh + 1, dtype=jnp.int32) * ph
+        # plane k·ph + i == [k, i] of a [(nh+1), ph] plane view: ph = ℓ+1
+        # makes (nh+1)·ph == nh·ph + ℓ + 1 exactly, so the PS gather is a
+        # contiguous reshape + one dynamic index (a jnp.take gather here
+        # materialized GB-scale temps at the 16M shape)
+        cache5 = cache_r[:, : (nh + 1) * ph].reshape(
+            (R, nh + 1, ph) + cache_r.shape[2:]
+        )
 
         def body(i, acc):
             pw = jax.lax.dynamic_index_in_dim(low_r, i - 1, axis=1, keepdims=False)
-            pt = jnp.take(cache_r, base_idx + i, axis=1)  # [R, nh+1, L, N]
+            pt = jax.lax.dynamic_index_in_dim(
+                cache5, i, axis=2, keepdims=False
+            )  # [R, nh+1, L, N]
             term = mont_mul(
                 pw[:, None, :, :, :], pt[:, :, None, :, :], q.p_d, q.pni_d
             )  # [R, nh+1, 2, L, N]

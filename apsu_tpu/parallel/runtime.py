@@ -307,11 +307,18 @@ class ShardedEvaluator:
             low_rows = low_full[bundle_of]    # [R, ℓ, 2, L, N]
             high_rows = high_full[bundle_of]  # [R, nh, 2, L, N]
 
-            base_idx = jnp.arange(nh + 1, dtype=jnp.int32) * ph
+            # plane k·ph + i == [k, i] of a [(nh+1), ph] plane view (ph=ℓ+1
+            # makes the counts line up exactly) — a contiguous reshape +
+            # dynamic index instead of a temp-heavy gather
+            cache5 = cache_rows[:, : (nh + 1) * ph].reshape(
+                (cache_rows.shape[0], nh + 1, ph) + cache_rows.shape[2:]
+            )
 
             def body(i, acc):
                 pw = jax.lax.dynamic_index_in_dim(low_rows, i - 1, axis=1, keepdims=False)
-                pt = jnp.take(cache_rows, base_idx + i, axis=1)  # [R, nh+1, L, N]
+                pt = jax.lax.dynamic_index_in_dim(
+                    cache5, i, axis=2, keepdims=False
+                )  # [R, nh+1, L, N]
                 term = mont_mul(
                     pw[:, None, :, :, :], pt[:, :, None, :, :], q.p_d, q.pni_d
                 )  # [R, nh+1, 2, L, N]
