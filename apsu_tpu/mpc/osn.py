@@ -15,8 +15,11 @@ OT pad y0 (the holder defines its next-level wire masks as
 mask_out := mask_in ⊕ expand(y0)), so only the cross correction
 m1 ⊕ expand(y1) travels — 32 bytes/switch instead of 64 (the role of the
 reference's SilentOT/one-sided switch flavors, apsu_OSNSender.cpp:19-49).
-Benes routes can be disk-cached via APSU_BENES_CACHE_DIR (reference
-apsu_OSNSender.cpp:257-270).
+The switch OTs themselves go through otext.ot_ext_*, which swaps IKNP for
+SoftSpoken chunked extension on large batches — 2 bytes/switch of OT
+correction instead of 16 (the reference's SilentOT still pays 64 B/switch
+of message corrections on top).  Benes routes can be disk-cached via
+APSU_BENES_CACHE_DIR (reference apsu_OSNSender.cpp:257-270).
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from typing import List, Tuple
 import numpy as np
 
 from apsu_tpu.mpc.duplex import Duplex
-from apsu_tpu.mpc.otext import expand_pad, iknp_recv, iknp_send
+from apsu_tpu.mpc.otext import expand_pad, ot_ext_recv, ot_ext_send
 
 _NATIVE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 
@@ -123,7 +126,7 @@ def osn_holder(ch: Duplex, values: np.ndarray, rng: np.random.Generator) -> np.n
     # one OT-extension batch for all switches (we are the OT sender); the
     # straight-path pads y0 BECOME the wire-mask chain, so only the cross
     # corrections travel (32 B/switch instead of 64)
-    y0, y1 = iknp_send(ch, levels * half, rng)
+    y0, y1 = ot_ext_send(ch, levels * half, rng)
     p0 = _expand_pads(y0)
     p1 = _expand_pads(y1)
 
@@ -164,7 +167,7 @@ def osn_programmer(
     settings = benes_route(full_perm)          # [levels, half]
 
     choices = settings.reshape(-1)
-    y = iknp_recv(ch, choices, rng)            # [levels*half, 16]
+    y = ot_ext_recv(ch, choices, rng)          # [levels*half, 16]
     e1 = ch.recv()                             # [levels*half, 32] cross only
     pe = _expand_pads(y)
     # straight switches (c=0): correction IS expand(y0); cross: unmask e1

@@ -56,6 +56,39 @@ def iknp_recv(ch: Duplex, choices: np.ndarray, rng: np.random.Generator):
     return mmo_hash_indexed(_cols_to_blocks(t0))
 
 
+def _flavor(m: int):
+    """Extension flavor by batch size — a pure function of m so both
+    parties pick the same one.  SoftSpoken's GGM setup costs a flat ~4 KB
+    (2κ level ciphertexts) and 2^k/k PRG expansions per virtual row, so
+    small batches stay on classic IKNP and large ones trade compute for a
+    k-fold cut of the correction-matrix bandwidth."""
+    if m < 1024:
+        return ("iknp", 0)
+    if m < 16384:
+        return ("softspoken", 4)
+    return ("softspoken", 8)
+
+
+def ot_ext_send(ch: Duplex, m: int, rng: np.random.Generator):
+    """Random-OT sender with size-dispatched flavor: returns (y0, y1)."""
+    name, k = _flavor(m)
+    if name == "iknp":
+        return iknp_send(ch, m, rng)
+    from apsu_tpu.mpc.softspoken import softspoken_send
+
+    return softspoken_send(ch, m, rng, k=k)
+
+
+def ot_ext_recv(ch: Duplex, choices: np.ndarray, rng: np.random.Generator):
+    """Random-OT receiver with size-dispatched flavor: returns y_{c_j}."""
+    name, k = _flavor(len(choices))
+    if name == "iknp":
+        return iknp_recv(ch, choices, rng)
+    from apsu_tpu.mpc.softspoken import softspoken_recv
+
+    return softspoken_recv(ch, choices, rng, k=k)
+
+
 def expand_pad(pads: np.ndarray, nbytes: int) -> np.ndarray:
     """[m, 16] OT pads -> [m, nbytes] keystream via counter-tweaked MMO
     (arbitrary-width OT messages; the reference's ARBITARY-length mode
@@ -68,7 +101,7 @@ def expand_pad(pads: np.ndarray, nbytes: int) -> np.ndarray:
 
 def ot_send_chosen(ch: Duplex, m0: np.ndarray, m1: np.ndarray, rng) -> None:
     """Chosen-message OT sender: m0/m1 [m, W] uint8 (any width W)."""
-    y0, y1 = iknp_send(ch, m0.shape[0], rng)
+    y0, y1 = ot_ext_send(ch, m0.shape[0], rng)
     W = m0.shape[1]
     ch.send(
         np.concatenate([m0 ^ expand_pad(y0, W), m1 ^ expand_pad(y1, W)], axis=1)
@@ -77,7 +110,7 @@ def ot_send_chosen(ch: Duplex, m0: np.ndarray, m1: np.ndarray, rng) -> None:
 
 def ot_recv_chosen(ch: Duplex, choices: np.ndarray, rng) -> np.ndarray:
     """Chosen-message OT receiver -> m_{c_j} [m, W] uint8."""
-    y = iknp_recv(ch, choices, rng)
+    y = ot_ext_recv(ch, choices, rng)
     e = ch.recv()
     W = e.shape[1] // 2
     c = np.asarray(choices, dtype=bool)
@@ -88,12 +121,12 @@ def ot_recv_chosen(ch: Duplex, choices: np.ndarray, rng) -> np.ndarray:
 def ot_send_onesided(ch: Duplex, m1: np.ndarray, rng) -> None:
     """One-sided OT (Kunlun OnesidedSend, iknp_ote.hpp:348): only the c=1
     message exists; c=0 receivers learn nothing."""
-    _, y1 = iknp_send(ch, m1.shape[0], rng)
+    _, y1 = ot_ext_send(ch, m1.shape[0], rng)
     ch.send(m1 ^ expand_pad(y1, m1.shape[1]))
 
 
 def ot_recv_onesided(ch: Duplex, choices: np.ndarray, rng) -> np.ndarray:
     """Returns m1 for rows with c=1 (other rows hold garbage)."""
-    y = iknp_recv(ch, choices, rng)
+    y = ot_ext_recv(ch, choices, rng)
     e = ch.recv()
     return e ^ expand_pad(y, e.shape[1])
