@@ -181,9 +181,14 @@ class BfvContext:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
-    def _mul_ctx(self, level: int):
-        """Per-level BEHZ multiply machinery (Bsk base sized to Q_level)."""
-        if level not in self._mul_ctx_cache:
+    def _mul_ctx(self, level: int, extra_bits: int = 0):
+        """Per-level BEHZ multiply machinery (Bsk base sized to Q_level).
+
+        ``extra_bits`` widens the auxiliary base for tensor-domain
+        accumulation (``multiply_sum``): summing M products before the
+        scale-down grows |tensor| by M, i.e. ceil(log2 M) bits."""
+        key = level if extra_bits == 0 else (level, extra_bits)
+        if key not in self._mul_ctx_cache:
             base = self.levels[level]
             n = self.n
             need_bits = (
@@ -192,13 +197,14 @@ class BfvContext:
                 + self.t.bit_length()
                 + 2 * math.ceil(math.log2(level + 1))
                 + 4
+                + extra_bits
             )
             nb = max(level, math.ceil(need_bits / 30)) + 1  # +1 = m_sk channel
             exclude = self.q_primes + [self.t] + (
                 [self.special] if self.special else []
             )
             bsk = RnsBase(nt.gen_ntt_primes([30] * nb, 2 * n, exclude=exclude), n)
-            self._mul_ctx_cache[level] = {
+            self._mul_ctx_cache[key] = {
                 "bsk": bsk,
                 "conv": BaseConv(base, bsk),
                 "sk_conv": ShenoyKumaresanConv(bsk, base, n),
@@ -213,7 +219,7 @@ class BfvContext:
                     dtype=np.uint32,
                 ).reshape(bsk.k, 1),
             }
-        return self._mul_ctx_cache[level]
+        return self._mul_ctx_cache[key]
 
     def _qp_level(self, level: int):
         """Key base Q_level · P for leveled key switching (lazy)."""
@@ -664,6 +670,76 @@ class BfvContext:
 
     def square(self, a: Ciphertext) -> Ciphertext:
         return self.multiply(a, a)
+
+    def multiply_sum(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """Σ_m a[m]·b[m] over the batch axis at position -4 — lazy BEHZ:
+        the M tensor products accumulate in the NTT domain of q ∪ Bsk, so
+        the expensive scale-down (INTT, t/Q fast floor, Shenoy–Kumaresan
+        conversion) runs ONCE for the whole sum instead of once per term.
+        The auxiliary base carries ceil(log2 M) extra bits of capacity for
+        the grown tensor; rounding error enters once rather than M times,
+        so noise is strictly below the multiply-then-add path.  (The
+        reference's eval_patstock pays the full SEAL multiply per
+        Paterson-Stockmeyer outer term, bin_bundle.cpp:192-360.)
+
+        a, b: [..., M, 2, L, N] coeff-domain ciphertext batches at one
+        level; returns the 3-component sum [..., 3, L, N] at that level.
+        """
+        assert a.level == b.level, "multiply_sum needs matching levels"
+        lvl = a.level
+        a = self.from_ntt(a)
+        b = self.from_ntt(b)
+        M = int(a.data.shape[-4])
+        extra = max(1, (M - 1).bit_length())
+        mc = self._mul_ctx(lvl, extra)
+        q, bsk = self.levels[lvl], mc["bsk"]
+        conv_q_to_bsk = mc["conv"]
+        t_mont_q, t_mont_bsk = mc["t_mont_q"], mc["t_mont_bsk"]
+        qinv_mont_bsk = mc["qinv_mont_bsk"]
+        sk_conv = mc["sk_conv"]
+
+        def impl(xa, xb):
+            def tensor_sum(base: RnsBase, xa, xb):
+                fa = base.ntt.ntt(base.to_mont(xa))
+                fb = base.ntt.ntt(base.to_mont(xb))
+                c0 = mont_mul(
+                    fa[..., 0, :, :], fb[..., 0, :, :], base.p_d, base.pni_d
+                )
+                c2 = mont_mul(
+                    fa[..., 1, :, :], fb[..., 1, :, :], base.p_d, base.pni_d
+                )
+                c1 = add_mod(
+                    mont_mul(fa[..., 0, :, :], fb[..., 1, :, :], base.p_d, base.pni_d),
+                    mont_mul(fa[..., 1, :, :], fb[..., 0, :, :], base.p_d, base.pni_d),
+                    base.p_d,
+                )
+                f = jnp.stack([c0, c1, c2], axis=-3)  # [..., M, 3, Lb, N]
+
+                def red(m, acc):
+                    return add_mod(
+                        acc,
+                        jax.lax.dynamic_index_in_dim(f, m, axis=-4, keepdims=False),
+                        base.p_d,
+                    )
+
+                s = jax.lax.fori_loop(1, M, red, f[..., 0, :, :, :])
+                return base.from_mont(base.ntt.intt(s))  # [..., 3, Lb, N]
+
+            x_q = tensor_sum(q, xa, xb)
+            x_b = tensor_sum(bsk, conv_q_to_bsk(xa), conv_q_to_bsk(xb))
+
+            # fast floor of t·x / Q_lvl, computed in Bsk (x = the summed
+            # tensor; |x| < M·N·(k+1)²·Q² fits the widened base)
+            xt_q = mont_mul(x_q, t_mont_q, q.p_d, q.pni_d)
+            xt_b = mont_mul(x_b, t_mont_bsk, bsk.p_d, bsk.pni_d)
+            conv = conv_q_to_bsk(xt_q)
+            y_b = mont_mul(
+                sub_mod(xt_b, conv, bsk.p_d), qinv_mont_bsk, bsk.p_d, bsk.pni_d
+            )
+            return sk_conv(y_b)  # [..., 3, Lq, N] plain
+
+        y_q = self._jitted(("multiply_sum", lvl, M), impl)(a.data, b.data)
+        return Ciphertext(y_q, is_ntt=False, level=lvl)
 
     def relinearize(self, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
         """3-component -> 2-component via RNS-gadget key switching."""

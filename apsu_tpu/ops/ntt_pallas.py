@@ -62,23 +62,29 @@ def _ntt_kernel(tw_ref, p_ref, pni_ref, x_ref, o_ref, *, logn, inverse,
     x = x_ref[0]        # [L, N]
     pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
 
-    stages = range(logn) if not inverse else range(logn - 1, -1, -1)
-    for s in stages:
-        t = n >> (s + 1)
-        tw = tw_ref[:, s, :]               # [L, N]
+    # Stages run inside a fori_loop with a TRACED stage index: a fully
+    # unrolled Python loop kept every stage's temporaries live on the Mosaic
+    # stack and blew the 16 MB scoped-vmem limit at L=10 limbs (26.5 MB).
+    # t = 2^(logn-1-s) becomes a dynamic shift/roll amount; the twiddle row
+    # is a dynamic slice of the stage table.
+    def stage(i, x):
+        s = i if not inverse else logn - 1 - i
+        t = jnp.int32(1) << (logn - 1 - s)
+        tw = tw_ref[:, s, :]  # [L, N] dynamic stage slice
         xb = pltpu.roll(x, n - t, axis=1)  # partner for a-positions: x[j + t]
         xa = pltpu.roll(x, t, axis=1)      # partner for b-positions: x[j - t]
-        is_a = ((pos // t) % 2) == 0
+        is_a = ((pos >> (logn - 1 - s)) & 1) == 0
         if not inverse:
             # a: u + w·v ; b: u - w·v  (u = partner at a-pos offset)
             v = mont_mul(jnp.where(is_a, xb, x), tw, p, pni)
-            x = jnp.where(is_a, add_mod(x, v, p), sub_mod(xa, v, p))
-        else:
-            # inverse stage: a: u + v ; b: (u - v)·w
-            u = jnp.where(is_a, x, xa)
-            v = jnp.where(is_a, xb, x)
-            s_ = sub_mod(u, v, p)
-            x = jnp.where(is_a, add_mod(u, v, p), mont_mul(s_, tw, p, pni))
+            return jnp.where(is_a, add_mod(x, v, p), sub_mod(xa, v, p))
+        # inverse stage: a: u + v ; b: (u - v)·w
+        u = jnp.where(is_a, x, xa)
+        v = jnp.where(is_a, xb, x)
+        s_ = sub_mod(u, v, p)
+        return jnp.where(is_a, add_mod(u, v, p), mont_mul(s_, tw, p, pni))
+
+    x = jax.lax.fori_loop(0, logn, stage, x)
     if inverse:
         x = mont_mul(x, ninv_ref[...], p, pni)
     o_ref[0] = x

@@ -333,20 +333,12 @@ class ShardedEvaluator:
             c0 = add_mod(acc[..., 0, :, :], dm, q.p_d)
             inner = acc.at[..., 0, :, :].set(c0)        # [R, nh+1, 2, L, N]
 
-            lhs = inner[:, 1:]                          # [R, nh, 2, L, N]
-            prod3 = bfv.multiply(
-                Ciphertext(lhs, is_ntt=False, level=lvl),
+            # lazy BEHZ tensor-domain accumulation — mirrors the single-chip
+            # evaluator exactly (bit-identity requirement)
+            tot = bfv.multiply_sum(
+                Ciphertext(inner[:, 1:], is_ntt=False, level=lvl),
                 Ciphertext(high_rows, is_ntt=False, level=lvl),
-            ).data                                      # [R, nh, 3, L, N]
-
-            def ksum(kk, a):
-                return add_mod(
-                    a,
-                    jax.lax.dynamic_index_in_dim(prod3, kk, axis=1, keepdims=False),
-                    q.p_d,
-                )
-
-            tot = jax.lax.fori_loop(1, nh, ksum, prod3[:, 0])  # [R, 3, L, N]
+            ).data                                      # [R, 3, L, N]
             tot = tot.at[:, :2].set(add_mod(tot[:, :2], inner[:, 0], q.p_d))
             rel = bfv.relinearize(
                 Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, lvl)

@@ -129,6 +129,53 @@ def test_power_chain_square_mul_relin():
     np.testing.assert_array_equal(got3, (v64 * v64 % ctx.t * v64 % ctx.t).astype(np.uint32))
 
 
+def test_multiply_sum_matches_multiply_then_add(ctx, keys):
+    """Lazy BEHZ batch accumulation: Σ_m a[m]·b[m] decrypts to the slotwise
+    Σ v1[m]·v2[m], and its noise is no worse than the multiply-then-add
+    path (one rounding error total instead of M)."""
+    import jax.numpy as jnp
+
+    from apsu_tpu.core.bfv import Ciphertext
+    from apsu_tpu.core.mod32 import add_mod
+
+    sk, rk, _ = keys
+    rng = np.random.default_rng(31)
+    M = 5
+    v1 = [rand_slots(ctx, rng) for _ in range(M)]
+    v2 = [rand_slots(ctx, rng) for _ in range(M)]
+    cts1 = [ctx.encrypt_symmetric(np.asarray(ctx.encode(v)), sk, rng) for v in v1]
+    cts2 = [ctx.encrypt_symmetric(np.asarray(ctx.encode(v)), sk, rng) for v in v2]
+    a = Ciphertext(jnp.stack([c.data for c in cts1]), is_ntt=False, level=cts1[0].level)
+    b = Ciphertext(jnp.stack([c.data for c in cts2]), is_ntt=False, level=cts2[0].level)
+
+    s3 = ctx.multiply_sum(a, b)
+    assert s3.size == 3 and not s3.is_ntt and s3.level == a.level
+    want = np.zeros(ctx.n, dtype=np.uint64)
+    for x, y in zip(v1, v2):
+        want = (want + x.astype(np.uint64) * y) % ctx.t
+    got = np.asarray(ctx.decode(ctx.decrypt(s3, sk)))
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+    # eager path for comparison: M separate multiplies, component-wise sum
+    q = ctx.levels[a.level]
+    acc = ctx.multiply(cts1[0], cts2[0]).data
+    for m in range(1, M):
+        acc = add_mod(acc, ctx.multiply(cts1[m], cts2[m]).data, q.p_d)
+    eager = Ciphertext(acc, is_ntt=False, level=a.level)
+    np.testing.assert_array_equal(
+        np.asarray(ctx.decode(ctx.decrypt(eager, sk))), want.astype(np.uint32)
+    )
+    # rounding error enters once instead of M times, but both are tiny
+    # against the multiplicative noise growth — assert "no worse", loosely
+    assert ctx.noise_budget(s3, sk) >= ctx.noise_budget(eager, sk) - 0.5
+
+    # relinearizes like any 3-component ct (the PS pipeline's next step)
+    rel = ctx.relinearize(s3, rk)
+    np.testing.assert_array_equal(
+        np.asarray(ctx.decode(ctx.decrypt(rel, sk))), want.astype(np.uint32)
+    )
+
+
 def test_mod_switch(ctx, keys):
     sk, _, _ = keys
     rng = np.random.default_rng(8)
