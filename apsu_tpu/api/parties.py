@@ -258,12 +258,13 @@ class Receiver:
 
         if self.plan.uses_ps:
             low_ntt, high_coeff = compute_ps_power_tensors(
-                self.bfv, cts, self.plan, rk, eval_level=self.db.eval_lvl
+                self.bfv, cts, self.plan, rk, eval_level=self.db.eval_lvl,
+                batch_first=True,
             )
             res = eval_matching_polys_ps(
                 self.bfv,
-                jnp.moveaxis(low_ntt, 0, 1),     # [B, ℓ, 2, L, N]
-                jnp.moveaxis(high_coeff, 0, 1),  # [B, nh, 2, L, N]
+                low_ntt,     # [B, ℓ, 2, L, N]
+                high_coeff,  # [B, nh, 2, L, N]
                 self.db.coeff_cache,
                 self.db.ps_const_polys,
                 jnp.asarray(mask),

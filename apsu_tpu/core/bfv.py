@@ -46,6 +46,31 @@ from apsu_tpu.core.rns import BaseConv, ExactDiv, RnsBase, ShenoyKumaresanConv
 NOISE_STDDEV = 3.2  # SEAL default error stddev
 
 
+def _msum_tensor(base: RnsBase, fa, fb, m_terms: int):
+    """Σ_m tensor(fa[m], fb[m]) in one RNS base's NTT-Montgomery domain,
+    INTT'd back to plain coeff residues [..., 3, Lb, N].  fa, fb:
+    [..., M, 2, Lb, N] NTT mont.  Shared by multiply_sum and the fused
+    PS variant (bit-identity between the two paths)."""
+    c0 = mont_mul(fa[..., 0, :, :], fb[..., 0, :, :], base.p_d, base.pni_d)
+    c2 = mont_mul(fa[..., 1, :, :], fb[..., 1, :, :], base.p_d, base.pni_d)
+    c1 = add_mod(
+        mont_mul(fa[..., 0, :, :], fb[..., 1, :, :], base.p_d, base.pni_d),
+        mont_mul(fa[..., 1, :, :], fb[..., 0, :, :], base.p_d, base.pni_d),
+        base.p_d,
+    )
+    f = jnp.stack([c0, c1, c2], axis=-3)  # [..., M, 3, Lb, N]
+
+    def red(m, acc):
+        return add_mod(
+            acc,
+            jax.lax.dynamic_index_in_dim(f, m, axis=-4, keepdims=False),
+            base.p_d,
+        )
+
+    s = jax.lax.fori_loop(1, m_terms, red, f[..., 0, :, :, :])
+    return base.from_mont(base.ntt.intt(s))
+
+
 def _mont(x: int, p: int) -> int:
     return (x << 32) % p
 
@@ -699,35 +724,12 @@ class BfvContext:
         sk_conv = mc["sk_conv"]
 
         def impl(xa, xb):
-            def tensor_sum(base: RnsBase, xa, xb):
-                fa = base.ntt.ntt(base.to_mont(xa))
-                fb = base.ntt.ntt(base.to_mont(xb))
-                c0 = mont_mul(
-                    fa[..., 0, :, :], fb[..., 0, :, :], base.p_d, base.pni_d
-                )
-                c2 = mont_mul(
-                    fa[..., 1, :, :], fb[..., 1, :, :], base.p_d, base.pni_d
-                )
-                c1 = add_mod(
-                    mont_mul(fa[..., 0, :, :], fb[..., 1, :, :], base.p_d, base.pni_d),
-                    mont_mul(fa[..., 1, :, :], fb[..., 0, :, :], base.p_d, base.pni_d),
-                    base.p_d,
-                )
-                f = jnp.stack([c0, c1, c2], axis=-3)  # [..., M, 3, Lb, N]
-
-                def red(m, acc):
-                    return add_mod(
-                        acc,
-                        jax.lax.dynamic_index_in_dim(f, m, axis=-4, keepdims=False),
-                        base.p_d,
-                    )
-
-                s = jax.lax.fori_loop(1, M, red, f[..., 0, :, :, :])
-                return base.from_mont(base.ntt.intt(s))  # [..., 3, Lb, N]
-
-            x_q = tensor_sum(q, xa, xb)
-            x_b = tensor_sum(bsk, conv_q_to_bsk(xa), conv_q_to_bsk(xb))
-
+            fa_q = q.ntt.ntt(q.to_mont(xa))
+            fb_q = q.ntt.ntt(q.to_mont(xb))
+            fa_b = bsk.ntt.ntt(bsk.to_mont(conv_q_to_bsk(xa)))
+            fb_b = bsk.ntt.ntt(bsk.to_mont(conv_q_to_bsk(xb)))
+            x_q = _msum_tensor(q, fa_q, fb_q, M)
+            x_b = _msum_tensor(bsk, fa_b, fb_b, M)
             # fast floor of t·x / Q_lvl, computed in Bsk (x = the summed
             # tensor; |x| < M·N·(k+1)²·Q² fits the widened base)
             xt_q = mont_mul(x_q, t_mont_q, q.p_d, q.pni_d)
@@ -740,6 +742,55 @@ class BfvContext:
 
         y_q = self._jitted(("multiply_sum", lvl, M), impl)(a.data, b.data)
         return Ciphertext(y_q, is_ntt=False, level=lvl)
+
+    def premul_sum_rhs(self, b: Ciphertext, m_terms: int):
+        """Pre-transform a multiply_sum rhs once: returns (fb_q, fb_bsk),
+        the NTT-Montgomery forms of b in q and in the (level, ⌈log2 M⌉)-
+        widened Bsk base.  In the PS pipeline the high powers y^1..y^nh are
+        per-bundle constants, so their transforms amortize over every
+        (bundle, cache) row chunk instead of being recomputed per chunk.
+        """
+        lvl = b.level
+        extra = max(1, (m_terms - 1).bit_length())
+        mc = self._mul_ctx(lvl, extra)
+        q, bsk, conv = self.levels[lvl], mc["bsk"], mc["conv"]
+        b = self.from_ntt(b)
+
+        def impl(xb):
+            return (
+                q.ntt.ntt(q.to_mont(xb)),
+                bsk.ntt.ntt(bsk.to_mont(conv(xb))),
+            )
+
+        return self._jitted(("premul_sum_rhs", lvl, extra), impl)(b.data)
+
+    def multiply_sum_fused(self, fa_q, xa_coeff, fb_q, fb_bsk, level, m_terms):
+        """multiply_sum with pre-transformed operand halves (trace-level
+        building block — call under jit; returns [..., 3, Lq, N] plain
+        coeff residues, bit-identical to ``multiply_sum``):
+
+        * ``fa_q`` [..., M, 2, Lq, N]: lhs in NTT-Montgomery q form.  The
+          PS evaluator already holds this (the inner-sum accumulator), so
+          the q-side forward NTT of the lhs disappears;
+        * ``xa_coeff``: same lhs as plain coeff residues (needed for the
+          FastBConv lift into Bsk, which is a per-coefficient operation);
+        * ``fb_q``/``fb_bsk``: rhs from ``premul_sum_rhs``.
+        """
+        extra = max(1, (m_terms - 1).bit_length())
+        mc = self._mul_ctx(level, extra)
+        q, bsk = self.levels[level], mc["bsk"]
+        conv_q_to_bsk = mc["conv"]
+        fa_b = bsk.ntt.ntt(bsk.to_mont(conv_q_to_bsk(xa_coeff)))
+        x_q = _msum_tensor(q, fa_q, fb_q, m_terms)
+        x_b = _msum_tensor(bsk, fa_b, fb_bsk, m_terms)
+        xt_q = mont_mul(x_q, mc["t_mont_q"], q.p_d, q.pni_d)
+        xt_b = mont_mul(x_b, mc["t_mont_bsk"], bsk.p_d, bsk.pni_d)
+        conv = conv_q_to_bsk(xt_q)
+        y_b = mont_mul(
+            sub_mod(xt_b, conv, bsk.p_d), mc["qinv_mont_bsk"],
+            bsk.p_d, bsk.pni_d,
+        )
+        return mc["sk_conv"](y_b)
 
     def relinearize(self, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
         """3-component -> 2-component via RNS-gadget key switching."""

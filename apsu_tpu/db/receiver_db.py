@@ -313,20 +313,18 @@ class ReceiverDB:
         lvl = self.ps_level() if uses_ps else (eval_level or self.eval_level())
         t = p.seal_params.plain_modulus
 
-        from apsu_tpu.ops.polyeval import DEG_CHUNK
+        from apsu_tpu.ops.polyeval import plane_count
 
         # Zero-pad the coefficient-plane axis so (a) it aligns to the Pallas
-        # degree chunk and (b) every PS gather index nh·ph + i (i ≤ ℓ) is
-        # in-bounds on a REAL zero plane — when K % ph < ℓ the last chunk
-        # reads planes past K+1, which must exist and be zero (ADVICE r1).
+        # degree chunk / PS segment chunk and (b) every PS gather index
+        # nh·ph + i (i ≤ ℓ) is in-bounds on a REAL zero plane — when
+        # K % ph < ℓ the last chunk reads planes past K+1, which must exist
+        # and be zero (ADVICE r1).
         if uses_ps:
             ph = ps_low + 1
             nh = K // ph
-            min_planes = max(K + 1, nh * ph + ps_low + 1)
             const_idx = np.arange(0, nh + 1) * ph
-        else:
-            min_planes = K + 1
-        planes = -(-min_planes // DEG_CHUNK) * DEG_CHUNK
+        planes = plane_count(K, ps_low)
         pad_planes = planes - (K + 1)
 
         def build(roots_d, counts_d):

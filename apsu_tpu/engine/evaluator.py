@@ -45,6 +45,15 @@ def _pallas_interpret() -> bool:
     )
 
 
+def _schedule_key(schedule: PowerSchedule):
+    """Hashable identity of a static wavefront schedule (jit cache key)."""
+    return (
+        schedule.sources,
+        schedule.max_power,
+        tuple(tuple(lvl) for lvl in schedule.levels),
+    )
+
+
 def compute_power_tensor(
     bfv: BfvContext,
     source_cts: Dict[int, Ciphertext],
@@ -56,17 +65,43 @@ def compute_power_tensor(
 
     source_cts: {power: Ciphertext} fresh query ciphertexts (coeff domain,
     full level), identically batched.  Each schedule level executes as one
-    batched multiply + one batched relinearize over the level's targets.
+    batched multiply + one batched relinearize over the level's targets —
+    and the WHOLE wavefront (all DAG levels + mod-switch + NTT) runs as a
+    single fused device program: the schedule is static, so dispatching it
+    call-by-call only paid per-dispatch latency (~11 ms/call over a remote
+    TPU tunnel, ~20 calls at the 16M shape).
     """
-    have = _run_schedule(bfv, dict(source_cts), schedule, relin_key)
-
-    # mod-switch every power to the evaluation level and NTT-transform
-    stack = jnp.stack(
-        [have[p].data for p in range(1, schedule.max_power + 1)]
-    )  # [D, ..., 2, L, N]
     k = bfv.q.k
-    switched = bfv.mod_switch_to(Ciphertext(stack, is_ntt=False, level=k), eval_level)
-    return bfv.to_ntt(switched).data
+    srcs = tuple(sorted(source_cts))
+    need_rk = bool(schedule.levels)
+
+    def impl(*args):
+        if need_rk:
+            ksk, *datas = args
+            rk = RelinKey(ksk, k)
+        else:
+            datas, rk = args, None
+        have = {
+            s: Ciphertext(d, is_ntt=False, level=k) for s, d in zip(srcs, datas)
+        }
+        have = _run_schedule(bfv, have, schedule, rk)
+        stack = jnp.stack(
+            [have[p].data for p in range(1, schedule.max_power + 1)]
+        )  # [D, ..., 2, L, N]
+        switched = bfv.mod_switch_to(
+            Ciphertext(stack, is_ntt=False, level=k), eval_level
+        )
+        return bfv.to_ntt(switched).data
+
+    fn = bfv._jitted(
+        ("power_tensor", _schedule_key(schedule), eval_level, srcs), impl
+    )
+    datas = [source_cts[s].data for s in srcs]
+    if need_rk:
+        if relin_key is None:
+            raise ValueError("power schedule requires relinearization keys")
+        return fn(relin_key.ksk, *datas)
+    return fn(*datas)
 
 
 def _run_schedule(
@@ -104,25 +139,85 @@ def compute_ps_power_tensors(
     plan: QueryPlan,
     relin_key: Optional[RelinKey],
     eval_level: Optional[int] = None,
+    batch_first: bool = False,
 ):
     """Power tensors for the Paterson–Stockmeyer path (both at FULL level).
 
     Returns (low_ntt [ℓ, ..., 2, L, N], high_coeff [nh, ..., 2, L, N]):
     x^1..x^ℓ NTT-transformed for the inner dot products, and y^1..y^nh
     (y = x^(ℓ+1)) kept in coefficient domain for the outer BEHZ products.
+    With ``batch_first`` the power axis moves behind the leading batch axis
+    inside the fused program ([..., ℓ, 2, L, N]), saving the caller an
+    eager transpose.  Both schedules + mod-switches + NTT run as ONE fused
+    device program (see compute_power_tensor).
     """
     ph = plan.ps_low_degree + 1
-    low_src = {s: ct for s, ct in source_cts.items() if s <= plan.ps_low_degree}
-    high_src = {s // ph: ct for s, ct in source_cts.items() if s > plan.ps_low_degree}
-    low = _run_schedule(bfv, low_src, plan.low, relin_key)
-    high = _run_schedule(bfv, high_src, plan.high, relin_key)
     k = bfv.q.k
     lvl = eval_level or k
-    low_stack = jnp.stack([low[p].data for p in range(1, plan.low.max_power + 1)])
-    high_stack = jnp.stack([high[p].data for p in range(1, plan.high.max_power + 1)])
-    low_sw = bfv.mod_switch_to(Ciphertext(low_stack, is_ntt=False, level=k), lvl)
-    high_sw = bfv.mod_switch_to(Ciphertext(high_stack, is_ntt=False, level=k), lvl)
-    return bfv.to_ntt(low_sw).data, high_sw.data
+    low_srcs = tuple(sorted(s for s in source_cts if s <= plan.ps_low_degree))
+    high_srcs = tuple(
+        sorted(s // ph for s in source_cts if s > plan.ps_low_degree)
+    )
+    need_rk = bool(plan.low.levels) or bool(plan.high.levels)
+
+    def impl(*args):
+        if need_rk:
+            ksk, *datas = args
+            rk = RelinKey(ksk, k)
+        else:
+            datas, rk = args, None
+        nl = len(low_srcs)
+        low_have = {
+            s: Ciphertext(d, is_ntt=False, level=k)
+            for s, d in zip(low_srcs, datas[:nl])
+        }
+        high_have = {
+            s: Ciphertext(d, is_ntt=False, level=k)
+            for s, d in zip(high_srcs, datas[nl:])
+        }
+        low = _run_schedule(bfv, low_have, plan.low, rk)
+        high = _run_schedule(bfv, high_have, plan.high, rk)
+        low_stack = jnp.stack(
+            [low[p].data for p in range(1, plan.low.max_power + 1)]
+        )
+        high_stack = jnp.stack(
+            [high[p].data for p in range(1, plan.high.max_power + 1)]
+        )
+        low_sw = bfv.mod_switch_to(
+            Ciphertext(low_stack, is_ntt=False, level=k), lvl
+        )
+        high_sw = bfv.mod_switch_to(
+            Ciphertext(high_stack, is_ntt=False, level=k), lvl
+        )
+        low_ntt = bfv.to_ntt(low_sw).data
+        high_coeff = high_sw.data
+        if batch_first:
+            low_ntt = jnp.moveaxis(low_ntt, 0, 1)
+            high_coeff = jnp.moveaxis(high_coeff, 0, 1)
+        return low_ntt, high_coeff
+
+    fn = bfv._jitted(
+        (
+            "ps_power_tensors",
+            _schedule_key(plan.low),
+            _schedule_key(plan.high),
+            lvl,
+            low_srcs,
+            high_srcs,
+            batch_first,
+        ),
+        impl,
+    )
+    datas = [
+        source_cts[s].data for s in sorted(source_cts) if s <= plan.ps_low_degree
+    ] + [
+        source_cts[s].data for s in sorted(source_cts) if s > plan.ps_low_degree
+    ]
+    if need_rk:
+        if relin_key is None:
+            raise ValueError("power schedule requires relinearization keys")
+        return fn(relin_key.ksk, *datas)
+    return fn(*datas)
 
 
 def eval_matching_polys(
@@ -338,17 +433,28 @@ def eval_matching_polys_ps(
     behz_bytes_per_row = nh * 3 * (q.k + Lb) * N * 4 * 4
     cache_bytes = int(np.prod(coeff_cache.shape)) * 4
     cache_bytes_per_row = cache_bytes // rows
-    row_bytes = behz_bytes_per_row + 2 * cache_bytes_per_row
+    # per-row operand gathers: pre-transformed rhs (q ∪ Bsk) + low powers
+    fb_bytes_per_row = nh * 2 * (q.k + Lb) * N * 4 * 2
+    low_bytes_per_row = ps_low_degree * 2 * q.k * N * 4 * 2
+    row_bytes = (
+        behz_bytes_per_row
+        + 2 * cache_bytes_per_row
+        + fb_bytes_per_row
+        + low_bytes_per_row
+    )
     budget = max(1 << 30, (10 << 30) - cache_bytes)
     row_chunk = int(max(1, min(rows, budget // max(1, row_bytes))))
 
     rbase = bfv.levels[result_level]
-    cache_rows = coeff_cache.reshape((rows,) + coeff_cache.shape[2:])
-    const_rows = const_polys.reshape((rows,) + const_polys.shape[2:])
-    mask_rows = mask_slots.reshape(rows, N)
-    bundle_of = np.arange(rows, dtype=np.int32) // C
 
-    def rows_impl(cache_r, const_r, mask_r, low_r, high_r, ksk):
+    # pre-transform the outer-product rhs ONCE per query: the high powers
+    # are per-bundle constants, so their q/Bsk NTT forms amortize over all
+    # row chunks (bfv.premul_sum_rhs)
+    fbq, fbb = bfv.premul_sum_rhs(
+        Ciphertext(high_powers_coeff, is_ntt=False, level=lvl), nh
+    )
+
+    def rows_impl(cache_r, const_r, mask_r, low_r, fbq_r, fbb_r, ksk):
         R = cache_r.shape[0]
         # plane k·ph + i == [k, i] of a [(nh+1), ph] plane view: ph = ℓ+1
         # makes (nh+1)·ph == nh·ph + ℓ + 1 exactly, so the PS gather is a
@@ -358,30 +464,64 @@ def eval_matching_polys_ps(
             (R, nh + 1, ph) + cache_r.shape[2:]
         )
 
-        def body(i, acc):
-            pw = jax.lax.dynamic_index_in_dim(low_r, i - 1, axis=1, keepdims=False)
-            pt = jax.lax.dynamic_index_in_dim(
-                cache5, i, axis=2, keepdims=False
-            )  # [R, nh+1, L, N]
-            term = mont_mul(
-                pw[:, None, :, :, :], pt[:, :, None, :, :], q.p_d, q.pni_d
-            )  # [R, nh+1, 2, L, N]
-            return add_mod(acc, term, q.p_d)
+        import os as _os
 
-        acc = jax.lax.fori_loop(
-            1, ell + 1, body, jnp.zeros((R, nh + 1, 2, q.k, N), jnp.uint32)
-        )
-        acc = q.from_mont(q.ntt.intt(acc))          # coeff plain
+        if _os.environ.get("APSU_PS_INNER") == "pallas" and _use_pallas(bfv, lvl):
+            # segmented Pallas kernel (ops/polyeval.py) — bit-identical to
+            # the fori_loop (same Montgomery multiply-add order) but OPT-IN:
+            # at the 16M shape it measured ~2.4× slower than the XLA loop
+            # (the inner sum is HBM-streaming-bound and XLA's fusion already
+            # saturates it; the segmented grid re-reads the power block per
+            # k-chunk).  Use ALL build-aligned segments so the kernel's
+            # SEG_CHUNK padding is a no-op (plane_count aligns the cache);
+            # extra segments are zero planes and are sliced off.
+            from apsu_tpu.ops.polyeval import eval_ps_inner_pallas
+
+            consts = np.stack(
+                [np.asarray(q.p_d).ravel(), np.asarray(q.pni_d).ravel()]
+            )
+            nseg = cache_r.shape[1] // ph
+            cache5p = cache_r[:, : nseg * ph].reshape(
+                (R, nseg, ph) + cache_r.shape[2:]
+            )
+            acc = eval_ps_inner_pallas(
+                low_r, cache5p, consts[0], consts[1], 1,
+                interpret=_pallas_interpret(),
+            )[:, : nh + 1]
+        else:
+
+            def body(i, acc):
+                pw = jax.lax.dynamic_index_in_dim(
+                    low_r, i - 1, axis=1, keepdims=False
+                )
+                pt = jax.lax.dynamic_index_in_dim(
+                    cache5, i, axis=2, keepdims=False
+                )  # [R, nh+1, L, N]
+                term = mont_mul(
+                    pw[:, None, :, :, :], pt[:, :, None, :, :], q.p_d, q.pni_d
+                )  # [R, nh+1, 2, L, N]
+                return add_mod(acc, term, q.p_d)
+
+            acc = jax.lax.fori_loop(
+                1, ell + 1, body, jnp.zeros((R, nh + 1, 2, q.k, N), jnp.uint32)
+            )
+        inner_c = q.from_mont(q.ntt.intt(acc))      # coeff plain
         dm = bfv._scale_impl(const_r, lvl)          # [R, nh+1, L, N]
-        c0 = add_mod(acc[..., 0, :, :], dm, q.p_d)
-        inner = acc.at[..., 0, :, :].set(c0)        # [R, nh+1, 2, L, N]
+        c0 = add_mod(inner_c[..., 0, :, :], dm, q.p_d)
+        inner = inner_c.at[..., 0, :, :].set(c0)    # [R, nh+1, 2, L, N]
 
-        # lazy BEHZ: all nh outer products Σ_k I_k·y^k accumulate in the
-        # tensored NTT domain — ONE scale-down for the sum (bfv.multiply_sum)
-        tot = bfv.multiply_sum(
-            Ciphertext(inner[:, 1:], is_ntt=False, level=lvl),
-            Ciphertext(high_r, is_ntt=False, level=lvl),
-        ).data                                      # [R, 3, L, N]
+        # lazy BEHZ with both operand transforms amortized: the lhs's
+        # q-NTT form is the inner accumulator itself (NTT is linear, so
+        # adding NTT(mont(dm)) to component 0 equals re-transforming
+        # inner), and the rhs arrives pre-transformed — ONE scale-down
+        # for the whole Σ_k I_k·y^k (bfv.multiply_sum_fused)
+        dm_ntt = q.ntt.ntt(q.to_mont(dm[:, 1:]))    # [R, nh, L, N]
+        fa_q = acc[:, 1:].at[:, :, 0].set(
+            add_mod(acc[:, 1:, 0], dm_ntt, q.p_d)
+        )
+        tot = bfv.multiply_sum_fused(
+            fa_q, inner[:, 1:], fbq_r, fbb_r, lvl, nh
+        )                                           # [R, 3, L, N]
         tot = tot.at[:, :2].set(add_mod(tot[:, :2], inner[:, 0], q.p_d))
         rel = bfv.relinearize(
             Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, lvl)
@@ -390,21 +530,52 @@ def eval_matching_polys_ps(
         dm2 = bfv._scale_impl(bfv.encode(mask_r), result_level)
         return sw.data.at[:, 0].set(add_mod(sw.data[:, 0], dm2, rbase.p_d))
 
+    # Chunk dispatch with ALL slicing inside jit: each chunk program takes
+    # the full device-resident tensors plus a traced row offset and
+    # dynamic-slices its rows — the former eager row reshape copied the
+    # multi-GB cache and each eager slice/take paid a separate dispatch
+    # (~11 ms over a remote tunnel, 6 operands × n_chunks calls).  At most
+    # two program shapes compile (full chunk + remainder).
+    def chunk_impl(size):
+        def impl(cache_full, const_full, mask_full, low_full, fbq_full,
+                 fbb_full, ksk, r0):
+            cache_rows = cache_full.reshape((rows,) + cache_full.shape[2:])
+            const_rows = const_full.reshape((rows,) + const_full.shape[2:])
+            cache_r = jax.lax.dynamic_slice_in_dim(cache_rows, r0, size, axis=0)
+            const_r = jax.lax.dynamic_slice_in_dim(const_rows, r0, size, axis=0)
+            mask_r = jax.lax.dynamic_slice_in_dim(
+                mask_full.reshape(rows, N), r0, size, axis=0
+            )
+            bo = (r0 + jnp.arange(size, dtype=jnp.int32)) // C
+            return rows_impl(
+                cache_r,
+                const_r,
+                mask_r,
+                jnp.take(low_full, bo, axis=0),
+                jnp.take(fbq_full, bo, axis=0),
+                jnp.take(fbb_full, bo, axis=0),
+                ksk,
+            )
+
+        return impl
+
     out = []
     for r0 in range(0, rows, row_chunk):
-        r1 = min(rows, r0 + row_chunk)
+        size = min(rows, r0 + row_chunk) - r0
         fn = bfv._jitted(
-            ("ps_rows", r1 - r0, ps_low_degree, nh, lvl, result_level), rows_impl
+            ("ps_rows", size, ps_low_degree, nh, lvl, result_level),
+            chunk_impl(size),
         )
-        bo = bundle_of[r0:r1]
         out.append(
             fn(
-                cache_rows[r0:r1],
-                const_rows[r0:r1],
-                mask_rows[r0:r1],
-                jnp.take(low_powers_ntt, bo, axis=0),
-                jnp.take(high_powers_coeff, bo, axis=0),
+                coeff_cache,
+                const_polys,
+                mask_slots,
+                low_powers_ntt,
+                fbq,
+                fbb,
                 relin_key.ksk,
+                np.int32(r0),
             )
         )
     data = jnp.concatenate(out).reshape(B, C, 2, rbase.k, N)

@@ -93,6 +93,113 @@ def _sub_if_ge(x, p):
     return jnp.where(x >= p, x - p, x)
 
 
+SEG_CHUNK = 8  # k-segments per grid step (out block SEG_CHUNK·[2,L,N] resident)
+
+
+def plane_count(K: int, ps_low_degree: int) -> int:
+    """Coefficient-plane count for a DB cache at max bin degree K.
+
+    Non-PS: K+1 rounded up to the Pallas degree chunk.  PS: at least
+    (nh+1)·ph planes so every gather index nh·ph + i (i ≤ ℓ) lands on a
+    real (zero) plane.  Deliberately NOT rounded to SEG_CHUNK segments:
+    that costs ~10% extra permanent HBM on the DB cache (0.6 GB at the
+    16M shape) to save the opt-in segmented kernel a transient pad —
+    the wrong trade on a 16 GB chip (the round-2 OOM was exactly this).
+    """
+    if ps_low_degree > 0:
+        ph = ps_low_degree + 1
+        nh = K // ph
+        min_planes = max(K + 1, (nh + 1) * ph)
+    else:
+        min_planes = K + 1
+    return -(-min_planes // DEG_CHUNK) * DEG_CHUNK
+
+
+def _ps_inner_kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, *, ph):
+    """Segmented dot for the Paterson-Stockmeyer inner sums: each grid step
+    handles SEG_CHUNK k-segments of one row at one plane offset i, so the
+    power block pw[i] is fetched once per k-chunk rather than once per
+    segment, and the step count stays low (a first (r, k, i) single-segment
+    grid was measured SLOWER than the XLA loop at the 16M shape — nh+1×
+    power re-reads plus ~30k grid-step overheads).  Accumulation is a plain
+    Montgomery multiply-add into the resident out block — bit-identical to
+    the XLA fori_loop fallback by construction, and scratch-free so the
+    whole VMEM budget goes to wider k-chunks.
+
+    Plane i of segment k multiplies x^i (pw plane i-1); the i == 0 step
+    only zeroes the accumulator (the constant column is added in the coeff
+    domain by the evaluator).
+    """
+    i = pl.program_id(2)
+    p = p_ref[...]      # [L, 1]
+    pni = pni_ref[...]  # [L, 1]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(i > 0)
+    def _():
+        pw = pw_ref[0, 0]                    # [2, L, N]
+        for u in range(SEG_CHUNK):
+            term = mont_mul(pw, pt_ref[0, u, 0][None, :, :], p, pni)
+            out_ref[0, u] = add_mod(out_ref[0, u], term, p)
+
+
+def eval_ps_inner_pallas(
+    low_powers, cache5, p_np: np.ndarray, pni_np: np.ndarray,
+    caches_per_bundle: int, interpret: bool = False,
+):
+    """PS inner sums: out[r, k] = Σ_{i=1..ph-1} low_powers[r//C, i-1] ⊙
+    cache5[r, k, i]  (NTT-domain Montgomery residues, eval primes < 2^28).
+
+    low_powers [B, ph-1, 2, L, N]; cache5 [R, nh1, ph, L, N] with
+    R = B·caches_per_bundle; returns [R, nh1, 2, L, N].  The segment axis
+    is padded to a SEG_CHUNK multiple internally (zero segments).
+    """
+    B, ell, _, L, N = low_powers.shape
+    R, nh1, ph = cache5.shape[:3]
+    assert ell == ph - 1 and R == B * caches_per_bundle
+    C = caches_per_bundle
+    p = jnp.asarray(p_np.reshape(L, 1))
+    pni = jnp.asarray(pni_np.reshape(L, 1))
+
+    nh_pad = -(-nh1 // SEG_CHUNK) * SEG_CHUNK
+    if nh_pad != nh1:
+        cache5 = jnp.pad(
+            cache5, ((0, 0), (0, nh_pad - nh1), (0, 0), (0, 0), (0, 0))
+        )
+    nk = nh_pad // SEG_CHUNK
+
+    kernel = functools.partial(_ps_inner_kernel, ph=ph)
+    grid = (R, nk, ph)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda r, k, i: (0, 0)),
+            pl.BlockSpec((L, 1), lambda r, k, i: (0, 0)),
+            pl.BlockSpec(
+                (1, 1, 2, L, N),
+                lambda r, k, i: (r // C, jnp.maximum(i - 1, 0), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, SEG_CHUNK, 1, L, N),
+                lambda r, k, i: (r, k, i, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SEG_CHUNK, 2, L, N), lambda r, k, i: (r, k, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, nh_pad, 2, L, N), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(p, pni, low_powers, cache5)
+    return out[:, :nh1]
+
+
 def eval_dot_pallas(
     powers, cache, p_np: np.ndarray, pni_np: np.ndarray, interpret: bool = False
 ):

@@ -300,12 +300,34 @@ class ShardedEvaluator:
         R = self.rows // self.n_dev
         shard = NamedSharding(self.mesh, P(self.axis))
 
-        def per_shard(cache_rows, const_rows, mask_rows, low_full, high_full, ksk):
+        import os
+
+        # PS inner kernel choice mirrors the single-chip evaluator: the
+        # segmented Pallas kernel is OPT-IN (measured slower than the XLA
+        # loop at the 16M shape — see eval_matching_polys_ps)
+        use_pallas = (
+            os.environ.get("APSU_PS_INNER") == "pallas"
+            and _use_pallas_shard(bfv, lvl)
+        )
+        consts = np.stack([np.asarray(q.p_d).ravel(), np.asarray(q.pni_d).ravel()])
+
+        interp = jax.default_backend() == "cpu" and bool(
+            os.environ.get("APSU_PALLAS_INTERPRET")
+        )
+
+        # rhs pre-transform once (replicated; per-bundle constants)
+        fbq, fbb = bfv.premul_sum_rhs(
+            Ciphertext(high_powers_coeff, is_ntt=False, level=lvl), nh
+        )
+
+        def per_shard(cache_rows, const_rows, mask_rows, low_full, fbq_full,
+                      fbb_full, ksk):
             shard_i = jax.lax.axis_index(self.axis)
             row0 = shard_i * R
             bundle_of = ((row0 + jnp.arange(R, dtype=jnp.int32)) // C).clip(0, B - 1)
             low_rows = low_full[bundle_of]    # [R, ℓ, 2, L, N]
-            high_rows = high_full[bundle_of]  # [R, nh, 2, L, N]
+            fbq_rows = fbq_full[bundle_of]    # [R, nh, 2, Lq, N]
+            fbb_rows = fbb_full[bundle_of]    # [R, nh, 2, Lb, N]
 
             # plane k·ph + i == [k, i] of a [(nh+1), ph] plane view (ph=ℓ+1
             # makes the counts line up exactly) — a contiguous reshape +
@@ -314,31 +336,53 @@ class ShardedEvaluator:
                 (cache_rows.shape[0], nh + 1, ph) + cache_rows.shape[2:]
             )
 
-            def body(i, acc):
-                pw = jax.lax.dynamic_index_in_dim(low_rows, i - 1, axis=1, keepdims=False)
-                pt = jax.lax.dynamic_index_in_dim(
-                    cache5, i, axis=2, keepdims=False
-                )  # [R, nh+1, L, N]
-                term = mont_mul(
-                    pw[:, None, :, :, :], pt[:, :, None, :, :], q.p_d, q.pni_d
-                )  # [R, nh+1, 2, L, N]
-                return add_mod(acc, term, q.p_d)
+            if use_pallas:
+                # segmented Pallas inner kernel (ops/polyeval.py) — bit-
+                # identical to the fori_loop (same multiply-add order);
+                # build-aligned segments keep the kernel pad a no-op
+                from apsu_tpu.ops.polyeval import eval_ps_inner_pallas
 
-            acc = jax.lax.fori_loop(
-                1, ell + 1, body,
-                jnp.zeros((R, nh + 1, 2, q.k, N), jnp.uint32),
-            )
-            acc = q.from_mont(q.ntt.intt(acc))          # coeff plain
+                nseg = cache_rows.shape[1] // ph
+                cache5p = cache_rows[:, : nseg * ph].reshape(
+                    (cache_rows.shape[0], nseg, ph) + cache_rows.shape[2:]
+                )
+                acc = eval_ps_inner_pallas(
+                    low_rows, cache5p, consts[0], consts[1], 1,
+                    interpret=interp,
+                )[:, : nh + 1]
+            else:
+
+                def body(i, acc):
+                    pw = jax.lax.dynamic_index_in_dim(
+                        low_rows, i - 1, axis=1, keepdims=False
+                    )
+                    pt = jax.lax.dynamic_index_in_dim(
+                        cache5, i, axis=2, keepdims=False
+                    )  # [R, nh+1, L, N]
+                    term = mont_mul(
+                        pw[:, None, :, :, :], pt[:, :, None, :, :], q.p_d, q.pni_d
+                    )  # [R, nh+1, 2, L, N]
+                    return add_mod(acc, term, q.p_d)
+
+                acc = jax.lax.fori_loop(
+                    1, ell + 1, body,
+                    jnp.zeros((R, nh + 1, 2, q.k, N), jnp.uint32),
+                )
+            inner_c = q.from_mont(q.ntt.intt(acc))      # coeff plain
             dm = bfv._scale_impl(const_rows, lvl)       # [R, nh+1, L, N]
-            c0 = add_mod(acc[..., 0, :, :], dm, q.p_d)
-            inner = acc.at[..., 0, :, :].set(c0)        # [R, nh+1, 2, L, N]
+            c0 = add_mod(inner_c[..., 0, :, :], dm, q.p_d)
+            inner = inner_c.at[..., 0, :, :].set(c0)    # [R, nh+1, 2, L, N]
 
-            # lazy BEHZ tensor-domain accumulation — mirrors the single-chip
-            # evaluator exactly (bit-identity requirement)
-            tot = bfv.multiply_sum(
-                Ciphertext(inner[:, 1:], is_ntt=False, level=lvl),
-                Ciphertext(high_rows, is_ntt=False, level=lvl),
-            ).data                                      # [R, 3, L, N]
+            # fused lazy BEHZ — mirrors the single-chip evaluator exactly
+            # (bit-identity requirement): lhs q-NTT form is the inner
+            # accumulator + NTT(mont(dm)) on component 0, rhs pre-transformed
+            dm_ntt = q.ntt.ntt(q.to_mont(dm[:, 1:]))    # [R, nh, L, N]
+            fa_q = acc[:, 1:].at[:, :, 0].set(
+                add_mod(acc[:, 1:, 0], dm_ntt, q.p_d)
+            )
+            tot = bfv.multiply_sum_fused(
+                fa_q, inner[:, 1:], fbq_rows, fbb_rows, lvl, nh
+            )                                           # [R, 3, L, N]
             tot = tot.at[:, :2].set(add_mod(tot[:, :2], inner[:, 0], q.p_d))
             rel = bfv.relinearize(
                 Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, lvl)
@@ -349,7 +393,7 @@ class ShardedEvaluator:
             out = sw.data.at[:, 0].set(add_mod(sw.data[:, 0], dm2, rbase.p_d))
             return out
 
-        def impl(cache, consts_s, mask, low_full, high_full, ksk):
+        def impl(cache, consts_s, mask, low_full, fbq_full, fbb_full, ksk):
             maskf = mask.reshape(B * C, -1)
             if pad:
                 maskf = jnp.concatenate(
@@ -358,15 +402,17 @@ class ShardedEvaluator:
             rows_out = shard_map(
                 per_shard,
                 mesh=self.mesh,
-                in_specs=(P(self.axis), P(self.axis), P(self.axis), P(), P(), P()),
+                in_specs=(P(self.axis), P(self.axis), P(self.axis), P(), P(),
+                          P(), P()),
                 out_specs=P(self.axis),
                 check_vma=False,
-            )(cache, consts_s, maskf, low_full, high_full, ksk)
+            )(cache, consts_s, maskf, low_full, fbq_full, fbb_full, ksk)
             rbase = bfv.levels[result_level]
             return rows_out[: B * C].reshape(B, C, 2, rbase.k, N)
 
         f = self.bfv._jitted(
-            ("sharded_eval_ps", lvl, result_level, id(self.mesh), nh, ell),
+            ("sharded_eval_ps", lvl, result_level, id(self.mesh), nh, ell,
+             use_pallas),
             jax.jit(impl, out_shardings=self.repl),
         )
         with self.mesh:
@@ -375,7 +421,8 @@ class ShardedEvaluator:
                 self.ps_consts,
                 mask_slots,
                 low_powers_ntt,
-                high_powers_coeff,
+                fbq,
+                fbb,
                 relin_key.ksk,
             )
 

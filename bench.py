@@ -98,7 +98,7 @@ def _phase_ps() -> dict:
     from apsu_tpu.core.params import PSUParams
     from apsu_tpu.db.receiver_db import ReceiverDB
     from apsu_tpu.mpc.prg import CsRng
-    from apsu_tpu.ops.polyeval import DEG_CHUNK
+    from apsu_tpu.ops.polyeval import plane_count
 
     params = PSUParams.load_file("parameters/16M-4096.json")
     tp, qp = params.table_params, params.query_params
@@ -111,8 +111,7 @@ def _phase_ps() -> dict:
     L = db.bfv.levels[lvl].k
     ph = qp.ps_low_degree + 1
     nh = K // ph
-    min_planes = max(K + 1, nh * ph + qp.ps_low_degree + 1)
-    planes = -(-min_planes // DEG_CHUNK) * DEG_CHUNK
+    planes = plane_count(K, qp.ps_low_degree)
 
     # synthetic cache at production shapes/levels (values irrelevant for
     # throughput; generated on device to skip a multi-GB host transfer)

@@ -175,6 +175,18 @@ def test_multiply_sum_matches_multiply_then_add(ctx, keys):
         np.asarray(ctx.decode(ctx.decrypt(rel, sk))), want.astype(np.uint32)
     )
 
+    # the fused variant (pre-transformed halves) is bit-identical
+    import jax
+
+    q = ctx.levels[a.level]
+    fbq, fbb = ctx.premul_sum_rhs(b, M)
+    fused = jax.jit(
+        lambda faq, xa, fq, fb: ctx.multiply_sum_fused(
+            faq, xa, fq, fb, a.level, M
+        )
+    )(q.ntt.ntt(q.to_mont(a.data)), a.data, fbq, fbb)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(s3.data))
+
 
 def test_mod_switch(ctx, keys):
     sk, _, _ = keys

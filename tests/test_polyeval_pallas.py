@@ -88,6 +88,84 @@ def test_full_psu_through_pallas_interpreter(monkeypatch):
     check_oracle(db, query, res)
 
 
+def _reference_ps_inner(low, cache5, p, pni, C):
+    """out[r, k] = Σ_{i=1..ph-1} low[r//C, i-1] ⊙ cache5[r, k, i]."""
+    R, nh1, ph = cache5.shape[:3]
+    acc = jnp.zeros((R, nh1) + low.shape[2:], jnp.uint32)
+    for r in range(R):
+        for i in range(1, ph):
+            term = mont_mul(low[r // C, i - 1][None], cache5[r, :, i, None], p, pni)
+            acc = acc.at[r].set(add_mod(acc[r], term, p))
+    return acc
+
+
+@pytest.mark.parametrize("ph,nh1,C", [(5, 4, 1), (3, 7, 2), (9, 2, 3)])
+def test_ps_inner_kernel_matches_reference(ph, nh1, C):
+    from apsu_tpu.ops.polyeval import eval_ps_inner_pallas
+
+    rng = np.random.default_rng(ph * 100 + nh1)
+    primes = gen_ntt_primes([27, 26], 64)
+    L, N, B = len(primes), 128, 2
+    R = B * C
+    p = np.array(primes, dtype=np.uint32).reshape(L, 1)
+    pni = np.array([_mont_neg_inv(q) for q in primes], dtype=np.uint32).reshape(L, 1)
+    low = (
+        rng.integers(0, 1 << 27, size=(B, ph - 1, 2, L, N), dtype=np.uint64)
+        .astype(np.uint32) % p.reshape(1, 1, 1, L, 1)
+    )
+    cache5 = (
+        rng.integers(0, 1 << 27, size=(R, nh1, ph, L, N), dtype=np.uint64)
+        .astype(np.uint32) % p.reshape(1, 1, 1, L, 1)
+    )
+    got = eval_ps_inner_pallas(
+        jnp.asarray(low), jnp.asarray(cache5), p, pni, C, interpret=True
+    )
+    want = _reference_ps_inner(jnp.asarray(low), jnp.asarray(cache5), p, pni, C)
+    assert jnp.array_equal(got, want), "segmented PS kernel diverges"
+
+
+def test_ps_inner_kernel_full_range_residues():
+    """All residues at p-1 with the max in-suite segment length — the lazy
+    64-bit segment sum and the 8p/4p/2p/p REDC ladder must reduce exactly."""
+    from apsu_tpu.ops.polyeval import eval_ps_inner_pallas
+
+    primes = gen_ntt_primes([27], 64)
+    L, N, ph = 1, 128, 17
+    p = np.array(primes, dtype=np.uint32).reshape(L, 1)
+    pni = np.array([_mont_neg_inv(q) for q in primes], dtype=np.uint32).reshape(L, 1)
+    low = np.full((1, ph - 1, 2, L, N), primes[0] - 1, dtype=np.uint32)
+    cache5 = np.full((1, 2, ph, L, N), primes[0] - 1, dtype=np.uint32)
+    got = eval_ps_inner_pallas(
+        jnp.asarray(low), jnp.asarray(cache5), p, pni, 1, interpret=True
+    )
+    want = _reference_ps_inner(jnp.asarray(low), jnp.asarray(cache5), p, pni, 1)
+    assert jnp.array_equal(got, want)
+
+
+def test_ps_psu_through_pallas_interpreter(monkeypatch):
+    """End-to-end PS-path PSU with the evaluator forced onto the Pallas
+    kernels (segmented inner sums + lazy-BEHZ outer), interpret mode.
+    APSU_PS_INNER=pallas opts in to the segmented kernel (default is the
+    XLA loop, which measured faster on chip)."""
+    monkeypatch.setenv("APSU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("APSU_PS_INNER", "pallas")
+    from apsu_tpu.api.protocol import run_psu
+    from tests.test_psu_e2e import check_oracle, make_sets, small_params
+
+    rng = np.random.default_rng(78)
+    params = small_params(
+        table_size=96,
+        hash_func_count=3,
+        max_items_per_bin=28,
+        ps_low_degree=4,
+        query_powers=(1, 2, 3, 4, 5, 10, 25),
+        coeff_bits=(48, 48, 48, 48, 48, 30),
+    )
+    db, query = make_sets(rng, n_db=800, n_query=36, n_common=15)
+    res = run_psu(params, query, db)
+    check_oracle(db, query, res)
+
+
 def test_pallas_rejects_unpadded_degree_axis():
     primes = gen_ntt_primes([27], 64)
     p = np.array(primes, dtype=np.uint32).reshape(1, 1)
