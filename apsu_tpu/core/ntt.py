@@ -92,6 +92,26 @@ class NttContext:
             jax.default_backend() != "cpu" and self.n >= 1024
         )
 
+    def _ntt4_mode(self) -> bool:
+        """Route transforms through the four-step MXU formulation
+        (ops/ntt4.py: two int8-decomposed DFT matmuls instead of log2 N
+        VPU butterfly stages) — bit-identical by construction and test.
+        Opt-in via APSU_NTT4=1 until measured faster on chip."""
+        import os
+
+        import jax
+
+        return os.environ.get("APSU_NTT4") == "1" and (
+            jax.default_backend() != "cpu" and self.n >= 1024
+        )
+
+    def _ntt4_tables(self):
+        if not hasattr(self, "_ntt4_tb"):
+            from apsu_tpu.ops.ntt4 import Ntt4Tables
+
+            self._ntt4_tb = Ntt4Tables(self.primes, self.n)
+        return self._ntt4_tb
+
     def _stage_tables(self):
         if not hasattr(self, "_stage_tw"):
             from apsu_tpu.ops.ntt_pallas import stage_twiddles
@@ -104,6 +124,10 @@ class NttContext:
 
     def ntt(self, x):
         """Forward negacyclic NTT over the last axis. x: [..., L, N] mont."""
+        if self._ntt4_mode():
+            from apsu_tpu.ops.ntt4 import ntt4
+
+            return ntt4(x, self._ntt4_tables())
         if self._pallas_mode():
             from apsu_tpu.ops.ntt_pallas import ntt_pallas
 
@@ -131,6 +155,10 @@ class NttContext:
 
     def intt(self, x):
         """Inverse transform (exact reversal of ntt stages) + N^{-1} scale."""
+        if self._ntt4_mode():
+            from apsu_tpu.ops.ntt4 import intt4
+
+            return intt4(x, self._ntt4_tables())
         if self._pallas_mode():
             from apsu_tpu.ops.ntt_pallas import ntt_pallas
 

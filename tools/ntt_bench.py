@@ -54,8 +54,12 @@ def main():
 
         return jax.jit(run)
 
+    from apsu_tpu.ops.ntt4 import Ntt4Tables, ntt4
+
+    tb4 = Ntt4Tables(primes, n)
     fx = chain(ctx.ntt)
     fp = chain(lambda v: ntt_pallas(v, tw_f, p_np, pni_np))
+    f4 = chain(lambda v: ntt4(v, tb4))
 
     def bench(f, name, iters=5):
         t0 = time.perf_counter()
@@ -76,7 +80,9 @@ def main():
 
     ox = bench(fx, "xla")
     op = bench(fp, "pallas")
-    assert jnp.array_equal(ox, op), "MISMATCH"
+    o4 = bench(f4, "ntt4")
+    assert jnp.array_equal(ox, op), "MISMATCH xla vs pallas"
+    assert jnp.array_equal(ox, o4), "MISMATCH xla vs ntt4"
     print("bit-identical OK")
 
 
