@@ -57,6 +57,10 @@ def main():
     from apsu_tpu.ops.ntt4 import Ntt4Tables, ntt4
 
     tb4 = Ntt4Tables(primes, n)
+    # the "xla" arm must be the true staged path (ctx.ntt would otherwise
+    # route to the default-on Pallas kernel on TPU; gates read at trace time)
+    os.environ["APSU_PALLAS_NTT"] = "0"
+    os.environ.pop("APSU_NTT4", None)
     fx = chain(ctx.ntt)
     fp = chain(lambda v: ntt_pallas(v, tw_f, p_np, pni_np))
     f4 = chain(lambda v: ntt4(v, tb4))
