@@ -150,32 +150,43 @@ def _modmat_rows(wb, w_rs, x, tb, contract_rows: bool):
     else (cols):   out[b,l,r,o] = Σ_c W[l,o,c]·x[b,l,r,c]
     x: uint32 canonical residues; W given as recentered s8 digits wb
     [4, L, O, K] with row sums w_rs [4, L, O].  Returns uint32 mod p.
+
+    The four W digit planes are stacked into one [L, 4·O, K] operand so
+    each x digit needs ONE matmul (4 total instead of 16) — the larger
+    output dimension keeps the MXU tiles full; the per-(u,v) partials are
+    split back out of the stacked rows for the digit-weight grouping.
     """
-    K = wb.shape[-1]
+    O, K = wb.shape[-2], wb.shape[-1]
     p = tb.p.reshape(tb.L, 1, 1)
     pni = tb.pni.reshape(tb.L, 1, 1)
+    wstack = jnp.asarray(
+        np.ascontiguousarray(np.moveaxis(wb, 0, 1)).reshape(tb.L, 4 * O, K)
+    )  # [L, 4v·O, K]
     xi = x.astype(I32)
     groups = [None] * 7
     for u in range(4):
         xu = (((xi >> (8 * u)) & 0xFF) - 128).astype(jnp.int8)
         if contract_rows:
             csum = jnp.sum(xu.astype(I32), axis=-2)        # [B, L, C]
+            s8a = jnp.einsum(
+                "lok,blkc->bloc", wstack, xu, preferred_element_type=I32
+            )  # [B, L, 4v·O, C]
+            s8a = s8a.reshape(s8a.shape[:2] + (4, O) + s8a.shape[3:])
         else:
             csum = jnp.sum(xu.astype(I32), axis=-1)        # [B, L, R]
+            s8a = jnp.einsum(
+                "loc,blrc->blro", wstack, xu, preferred_element_type=I32
+            )  # [B, L, R, 4v·O]
+            s8a = s8a.reshape(s8a.shape[:3] + (4, O))
         for v in range(4):
-            wv = jnp.asarray(wb[v])
             if contract_rows:
-                s8 = jnp.einsum(
-                    "lok,blkc->bloc", wv, xu, preferred_element_type=I32
-                )
+                s8 = s8a[:, :, v]
                 corr = (
                     128 * csum[:, :, None, :]
                     + 128 * jnp.asarray(w_rs[v])[None, :, :, None]
                 )
             else:
-                s8 = jnp.einsum(
-                    "loc,blrc->blro", wv, xu, preferred_element_type=I32
-                )
+                s8 = s8a[..., v, :]
                 corr = (
                     128 * csum[:, :, :, None]
                     + 128 * jnp.asarray(w_rs[v])[None, :, None, :]
