@@ -41,7 +41,13 @@ import numpy as np
 from apsu_tpu.core import nt
 from apsu_tpu.core.mod32 import add_mod, mont_mul, neg_mod, sub_mod
 from apsu_tpu.core.params import SealParams
-from apsu_tpu.core.rns import BaseConv, ExactDiv, RnsBase, ShenoyKumaresanConv
+from apsu_tpu.core.rns import (
+    BaseConv,
+    ExactDiv,
+    ExactLiftConv,
+    RnsBase,
+    ShenoyKumaresanConv,
+)
 
 NOISE_STDDEV = 3.2  # SEAL default error stddev
 
@@ -167,7 +173,7 @@ class BfvContext:
             self.div_p = None
 
         # Bsk: enough ≤30-bit NTT primes to hold floor(t·|tensor|/Q) exactly,
-        # |tensor| < N·(k+1)²·Q² (uncentered lifts with FastBConv overshoot)
+        # |tensor| < 2·N·Q² (operands lifted exactly via ExactLiftConv)
         k = self.q.k
         self._mul_ctx_cache = {}
         mc = self._mul_ctx(k)
@@ -216,11 +222,12 @@ class BfvContext:
         if key not in self._mul_ctx_cache:
             base = self.levels[level]
             n = self.n
+            # operands are lifted EXACTLY (ExactLiftConv, no α·Q overshoot),
+            # so the tensor is < 2·N·Q² and the scaled value < 2·N·t·Q + k
             need_bits = (
                 base.prod.bit_length()
                 + math.ceil(math.log2(n))
                 + self.t.bit_length()
-                + 2 * math.ceil(math.log2(level + 1))
                 + 4
                 + extra_bits
             )
@@ -232,6 +239,7 @@ class BfvContext:
             self._mul_ctx_cache[key] = {
                 "bsk": bsk,
                 "conv": BaseConv(base, bsk),
+                "lift": ExactLiftConv(base, bsk),
                 "sk_conv": ShenoyKumaresanConv(bsk, base, n),
                 "t_mont_q": np.array(
                     [_mont(self.t % p, p) for p in base.primes], dtype=np.uint32
@@ -654,6 +662,7 @@ class BfvContext:
         mc = self._mul_ctx(lvl)
         q, bsk = self.levels[lvl], mc["bsk"]
         conv_q_to_bsk = mc["conv"]
+        lift_q_to_bsk = mc["lift"]
         t_mont_q, t_mont_bsk = mc["t_mont_q"], mc["t_mont_bsk"]
         qinv_mont_bsk = mc["qinv_mont_bsk"]
         sk_conv = mc["sk_conv"]
@@ -677,8 +686,8 @@ class BfvContext:
                 return base.from_mont(base.ntt.intt(f))
 
             x_q = tensor(q, xa, xb)                      # [..., 3, Lq, N]
-            a_bsk = conv_q_to_bsk(xa)
-            b_bsk = conv_q_to_bsk(xb)
+            a_bsk = lift_q_to_bsk(xa)
+            b_bsk = lift_q_to_bsk(xb)
             x_b = tensor(bsk, a_bsk, b_bsk)              # [..., 3, Lb, N]
 
             # fast floor of t·x / Q_lvl, computed in Bsk
@@ -719,6 +728,7 @@ class BfvContext:
         mc = self._mul_ctx(lvl, extra)
         q, bsk = self.levels[lvl], mc["bsk"]
         conv_q_to_bsk = mc["conv"]
+        lift_q_to_bsk = mc["lift"]
         t_mont_q, t_mont_bsk = mc["t_mont_q"], mc["t_mont_bsk"]
         qinv_mont_bsk = mc["qinv_mont_bsk"]
         sk_conv = mc["sk_conv"]
@@ -726,12 +736,12 @@ class BfvContext:
         def impl(xa, xb):
             fa_q = q.ntt.ntt(q.to_mont(xa))
             fb_q = q.ntt.ntt(q.to_mont(xb))
-            fa_b = bsk.ntt.ntt(bsk.to_mont(conv_q_to_bsk(xa)))
-            fb_b = bsk.ntt.ntt(bsk.to_mont(conv_q_to_bsk(xb)))
+            fa_b = bsk.ntt.ntt(bsk.to_mont(lift_q_to_bsk(xa)))
+            fb_b = bsk.ntt.ntt(bsk.to_mont(lift_q_to_bsk(xb)))
             x_q = _msum_tensor(q, fa_q, fb_q, M)
             x_b = _msum_tensor(bsk, fa_b, fb_b, M)
             # fast floor of t·x / Q_lvl, computed in Bsk (x = the summed
-            # tensor; |x| < M·N·(k+1)²·Q² fits the widened base)
+            # tensor; |x| < 2·M·N·Q² fits the widened base)
             xt_q = mont_mul(x_q, t_mont_q, q.p_d, q.pni_d)
             xt_b = mont_mul(x_b, t_mont_bsk, bsk.p_d, bsk.pni_d)
             conv = conv_q_to_bsk(xt_q)
@@ -753,13 +763,13 @@ class BfvContext:
         lvl = b.level
         extra = max(1, (m_terms - 1).bit_length())
         mc = self._mul_ctx(lvl, extra)
-        q, bsk, conv = self.levels[lvl], mc["bsk"], mc["conv"]
+        q, bsk, lift = self.levels[lvl], mc["bsk"], mc["lift"]
         b = self.from_ntt(b)
 
         def impl(xb):
             return (
                 q.ntt.ntt(q.to_mont(xb)),
-                bsk.ntt.ntt(bsk.to_mont(conv(xb))),
+                bsk.ntt.ntt(bsk.to_mont(lift(xb))),
             )
 
         return self._jitted(("premul_sum_rhs", lvl, extra), impl)(b.data)
@@ -780,7 +790,7 @@ class BfvContext:
         mc = self._mul_ctx(level, extra)
         q, bsk = self.levels[level], mc["bsk"]
         conv_q_to_bsk = mc["conv"]
-        fa_b = bsk.ntt.ntt(bsk.to_mont(conv_q_to_bsk(xa_coeff)))
+        fa_b = bsk.ntt.ntt(bsk.to_mont(mc["lift"](xa_coeff)))
         x_q = _msum_tensor(q, fa_q, fb_q, m_terms)
         x_b = _msum_tensor(bsk, fa_b, fb_bsk, m_terms)
         xt_q = mont_mul(x_q, mc["t_mont_q"], q.p_d, q.pni_d)

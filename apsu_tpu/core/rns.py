@@ -5,10 +5,17 @@ Replaces SEAL's ``util/rns.cpp`` RNSTool (reference dependency surface,
 
 * every limb prime is < 2^31 so residues live in uint32 lanes (mod32.py);
 * ``FastBConv`` (Bajard-Eynard-Hasan-Zucca 2016) is an un-corrected CRT
-  recombination — it may overshoot by α·Q with α < k.  In BFV multiply that
-  overshoot decrypts to noise of size ~N·t²·k (because t·Δ ≡ -(Q mod t) mod
-  Q), which is negligible against Δ for every parameter set we generate, so
-  unlike SEAL we skip the m_tilde Montgomery correction entirely;
+  recombination — it may overshoot by α·Q with α < k.  Where the overshoot
+  only shifts an already-scaled value by ≤ k (the t/Q fast floor, the
+  {t, γ} decrypt conversion) we use it as-is;
+* ``ExactLiftConv`` is the m_tilde-corrected lift (the role of SEAL's
+  sm_mrq step): multiply by m_tilde = 2^16 in base q before converting,
+  recover α exactly from the residue modulo m_tilde, and subtract α·Q.
+  BEHZ multiply *operand* lifts use this — the uncorrected overshoot there
+  costs ~2·log2(k+1) invariant-noise bits per ct×ct level, which measurably
+  overflowed the tight communication-optimized chains at full bin load
+  (1M-4096-com, 256K-4096-com, 1M-11041/5535, 256M-*: caught by
+  tools/param_sweep.py on the chip — 100% of dense matches decrypted wrong);
 * the conversion back from the auxiliary base after scaling uses the exact
   Shenoy–Kumaresan method through the m_sk channel (last limb of Bsk), since
   overshoot there would alias modulo Q as full-size garbage.
@@ -124,6 +131,87 @@ class BaseConv:
             )
             out = add_mod(out, term, dst.p_d)
         return out
+
+
+class ExactLiftConv:
+    """m_tilde-corrected base conversion — the role of SEAL's sm_mrq step
+    (seal/util/rns.cpp RNSTool, reference dependency surface): lifts
+    x ∈ [0, Q) into dst as x + u·Q with u ∈ {−1, 0}, versus FastBConv's
+    0 ≤ α < k overshoot.  Operand magnitude stays < Q, so the BEHZ tensor
+    fits 2·N·Q² and per-multiply noise matches SEAL's analysis.
+
+    With m̃ = 2^16:  c_i = [m̃·x·p̂_i^{-1}]_{p_i}  make the conv integer
+    y = Σ_i c_i·p̂_i = m̃·x + (α−β)·Q  where 0 ≤ α < k is the FastBConv
+    overshoot and β = ⌊m̃·x/Q⌋ < m̃.  The centered correction
+    r = [−y·Q^{-1}]_{m̃} ∈ [−m̃/2, m̃/2) makes α−β+r ∈ {−m̃, 0}, so each
+    dst residue (y + r·Q)·m̃^{-1} represents x or x−Q.
+
+    The m̃ channel needs no NTT and no Montgomery machinery: products of
+    16-bit values are exact in uint32 and reduction mod 2^16 is a mask.
+    """
+
+    def __init__(self, src: RnsBase, dst: RnsBase):
+        mt = 1 << 16
+        self.src = src
+        self.dst = dst
+        Q = src.prod
+        # fold the m_tilde prescale into the phat_inv multiply:
+        # c_i = [x · (m̃·p̂_i^{-1} mod p_i)]_{p_i}
+        self.mt_phat_inv_mont_src = np.array(
+            [
+                _mont(mt * inv % p, p)
+                for inv, p in zip(src.phat_inv, src.primes)
+            ],
+            dtype=np.uint32,
+        ).reshape(src.k, 1)
+        m = np.zeros((src.k, dst.k), dtype=np.uint32)
+        for i, ph in enumerate(src.phat):
+            for j, d in enumerate(dst.primes):
+                m[i, j] = _mont(ph % d, d)
+        self.phat_mod_dst_mont_d = m
+        self.phat_mod_mt = np.array(
+            [ph % mt for ph in src.phat], dtype=np.uint32
+        )  # [ks]
+        self.q_inv_mt = np.uint32(pow(Q % mt, -1, mt))
+        self.mtinv_mont_dst = np.array(
+            [_mont(pow(mt, -1, d), d) for d in dst.primes], dtype=np.uint32
+        ).reshape(dst.k, 1)
+        self.q_mtinv_mont_dst = np.array(
+            [_mont(Q % d * pow(mt, -1, d) % d, d) for d in dst.primes],
+            dtype=np.uint32,
+        ).reshape(dst.k, 1)
+
+    def __call__(self, x):
+        """x: [..., ks, N] plain residues mod src -> [..., kd, N] plain
+        residues of x + u·Q, u ∈ {−1, 0}."""
+        src, dst = self.src, self.dst
+        c = mont_mul(x, self.mt_phat_inv_mont_src, src.p_d, src.pni_d)
+        out = jnp.zeros(x.shape[:-2] + (dst.k, x.shape[-1]), dtype=jnp.uint32)
+        c16 = jnp.zeros(x.shape[:-2] + (1, x.shape[-1]), dtype=jnp.uint32)
+        mask16 = jnp.uint32(0xFFFF)
+        for i in range(src.k):
+            term = mont_mul(
+                c[..., i : i + 1, :],
+                self.phat_mod_dst_mont_d[i].reshape(dst.k, 1),
+                dst.p_d,
+                dst.pni_d,
+            )
+            out = add_mod(out, term, dst.p_d)
+            c16 = c16 + (c[..., i : i + 1, :] & mask16) * jnp.uint32(
+                self.phat_mod_mt[i]
+            )
+        # r = [−y·Q^{-1}]_{m̃}, centered into [−m̃/2, m̃/2)
+        s = ((c16 & mask16) * self.q_inv_mt) & mask16  # [y·Q^{-1}]_{m̃}
+        r = (jnp.uint32(1 << 16) - s) & mask16  # [−y·Q^{-1}]_{m̃} in [0, m̃)
+        neg = r >= jnp.uint32(1 << 15)
+        r_abs = jnp.where(neg, jnp.uint32(1 << 16) - r, r)  # [..., 1, N]
+        a1 = mont_mul(out, self.mtinv_mont_dst, dst.p_d, dst.pni_d)
+        corr = mont_mul(r_abs, self.q_mtinv_mont_dst, dst.p_d, dst.pni_d)
+        return jnp.where(
+            neg,
+            sub_mod(a1, corr, dst.p_d),
+            add_mod(a1, corr, dst.p_d),
+        )
 
 
 class ShenoyKumaresanConv:

@@ -106,3 +106,36 @@ def test_host_mirror_matches_device():
     )
     host = ctx.np_ntt(x)
     np.testing.assert_array_equal(dev, host)
+
+
+def test_exact_lift_conv_no_overshoot():
+    """ExactLiftConv must lift x as x + u·Q with u ∈ {−1, 0} (SEAL sm_mrq
+    bound) — versus FastBConv's 0 ≤ α < k overshoot.  Covers x = 0, x = Q−1,
+    near-multiples of Q/k, and randoms."""
+    from apsu_tpu.core.rns import BaseConv, ExactLiftConv, RnsBase
+
+    rng = np.random.default_rng(11)
+    n = 32
+    src = RnsBase(nt.gen_ntt_primes([29, 30, 28, 27], 2 * n), n)
+    dst = RnsBase(
+        nt.gen_ntt_primes([30, 30, 29, 30, 30], 2 * n, exclude=src.primes), n
+    )  # prod(dst) > k·Q so composed values expose the overshoot
+    Q, P = src.prod, dst.prod
+    xs = [0, 1, Q - 1, Q // 2, Q // 3, 7 * Q // 8]
+    xs += [int(v) for v in rng.integers(0, 2**63, size=10)]
+    x_int = np.array([x % Q for x in xs] + [0] * (n - len(xs)), dtype=object)
+    x_res = src.decompose(x_int[None, :])  # [1, k, n]
+
+    lift = ExactLiftConv(src, dst)
+    got = dst.compose(np.asarray(lift(jnp.asarray(x_res))))[0]
+    overshoot_exact = 0
+    for g, x in zip(got, x_int):
+        u = [(int(g) - int(x) - d * Q) % P == 0 for d in (-1, 0)]
+        assert any(u), f"lift of {x} returned {g}: not x or x-Q mod P"
+        overshoot_exact += u[1]
+    assert overshoot_exact > 0  # most lifts are exactly x
+
+    # the uncorrected FastBConv overshoots by alpha*Q (alpha up to k-1)
+    plain = dst.compose(np.asarray(BaseConv(src, dst)(jnp.asarray(x_res))))[0]
+    alphas = {(int(g) - int(x)) // Q for g, x in zip(plain, x_int)}
+    assert max(alphas) >= 1, "FastBConv unexpectedly exact on all inputs"
