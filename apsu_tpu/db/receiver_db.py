@@ -477,10 +477,19 @@ class ReceiverDB:
         tools/param_sweep.py (256K-512, 1M-512-*: 100% of dense matches
         decrypted wrong at the old level).  Exhausting the chain returns the
         full level (e.g. single-limb 100K-1, measured exact).
+
+        A chip-measured per-parameter-set override (db/measured_levels.py)
+        takes precedence when present and ``extra_bits`` is 0.
         """
         import math
 
+        from apsu_tpu.db import measured_levels
         from apsu_tpu.engine.powers import plan_query
+
+        if extra_bits == 0.0:
+            ov = measured_levels.lookup(self.params)
+            if ov and "eval" in ov:
+                return min(ov["eval"], len(self.bfv.q_primes))
 
         p = self.params
         sp = p.seal_params
@@ -516,8 +525,15 @@ class ReceiverDB:
 
     def ps_level(self) -> int:
         """Evaluation level for the PS path: the outer ct×ct products need
-        one multiply's growth (~log2(N·t)) of room above the result level."""
+        one multiply's growth (~log2(N·t)) of room above the result level.
+        A chip-measured override (db/measured_levels.py) takes precedence."""
         import math
+
+        from apsu_tpu.db import measured_levels
+
+        ov = measured_levels.lookup(self.params)
+        if ov and "ps" in ov:
+            return min(ov["ps"], len(self.bfv.q_primes))
 
         sp = self.params.seal_params
         t_bits = sp.plain_modulus.bit_length()
@@ -556,8 +572,15 @@ class ReceiverDB:
     def result_level(self) -> int:
         """Result-transmission level for the PS path: inner-sum noise (degree
         ℓ dot product) multiplied once by a high power, summed over nh chunks
-        and relinearized — needs roughly inner_need + log2(N·t) + margin bits."""
+        and relinearized — needs roughly inner_need + log2(N·t) + margin bits.
+        A chip-measured override (db/measured_levels.py) takes precedence."""
         import math
+
+        from apsu_tpu.db import measured_levels
+
+        ov = measured_levels.lookup(self.params)
+        if ov and "result" in ov:
+            return min(ov["result"], len(self.bfv.q_primes))
 
         p = self.params
         sp = p.seal_params

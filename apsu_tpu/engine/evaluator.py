@@ -490,21 +490,47 @@ def eval_matching_polys_ps(
             )[:, : nh + 1]
         else:
 
-            def body(i, acc):
+            # i-chunked dot product: the accumulator [R, nh+1, 2, L, N] is
+            # ~1.1 GB at the 16M shape, and a 1-term-per-iteration fori_loop
+            # re-reads + re-writes it every one of ℓ=44 steps (~97 GB of HBM
+            # traffic — measured as the dominant eval substage).  Summing CH
+            # terms per iteration cuts that traffic ×CH; modular adds are
+            # exact, so the reassociation is bit-identical.
+            CH = min(11, ell)
+            nch = ell // CH
+
+            def body(ci, acc):
+                i0 = ci * CH
+                pw = jax.lax.dynamic_slice_in_dim(low_r, i0, CH, axis=1)
+                pt = jax.lax.dynamic_slice_in_dim(cache5, i0 + 1, CH, axis=2)
+                part = None
+                for u in range(CH):
+                    term = mont_mul(
+                        pw[:, u, None, :, :, :],
+                        pt[:, :, u, None, :, :],
+                        q.p_d,
+                        q.pni_d,
+                    )  # [R, nh+1, 2, L, N]
+                    part = term if part is None else add_mod(part, term, q.p_d)
+                return add_mod(acc, part, q.p_d)
+
+            acc = jax.lax.fori_loop(
+                0, nch, body, jnp.zeros((R, nh + 1, 2, q.k, N), jnp.uint32)
+            )
+
+            def tail(i, acc):
                 pw = jax.lax.dynamic_index_in_dim(
                     low_r, i - 1, axis=1, keepdims=False
                 )
                 pt = jax.lax.dynamic_index_in_dim(
                     cache5, i, axis=2, keepdims=False
-                )  # [R, nh+1, L, N]
+                )
                 term = mont_mul(
                     pw[:, None, :, :, :], pt[:, :, None, :, :], q.p_d, q.pni_d
-                )  # [R, nh+1, 2, L, N]
+                )
                 return add_mod(acc, term, q.p_d)
 
-            acc = jax.lax.fori_loop(
-                1, ell + 1, body, jnp.zeros((R, nh + 1, 2, q.k, N), jnp.uint32)
-            )
+            acc = jax.lax.fori_loop(nch * CH + 1, ell + 1, tail, acc)
         inner_c = q.from_mont(q.ntt.intt(acc))      # coeff plain
         dm = bfv._scale_impl(const_r, lvl)          # [R, nh+1, L, N]
         c0 = add_mod(inner_c[..., 0, :, :], dm, q.p_d)

@@ -3,7 +3,15 @@
 The staged/Pallas NTTs (core/ntt.py, ops/ntt_pallas.py) execute log2(N)
 butterfly stages on the VPU; at N=8192 that is compute-bound ~100x above
 the HBM streaming floor.  This module reformulates the same transform as
-two small DFT matmuls so the arithmetic rides the MXU instead:
+two small DFT matmuls so the bulk arithmetic rides the MXU instead.
+
+MEASURED VERDICT (chip, [64, 6, 8192]): 4.2 ms vs the staged XLA path's
+1.9 ms — the matmuls themselves are nearly free, but the mod-p digit
+recombination costs 7 Montgomery multiplies PER OUTPUT ELEMENT, while the
+butterfly NTT's total is log2(N)/2 ≈ 6.5 per output: for ≤30-bit primes
+the four-step mod-p formulation cannot beat butterflies on this VPU, and
+the measured VPU integer floor (~0.35 T uint32-op/s) binds both.  Kept as
+an opt-in (APSU_NTT4=1) record of the negative result:
 
     x[k1·n2+k2] --twist psi^k--> B[k1,k2]
     G = W1 @ B        (DFT_n1 over rows,   W1[j1,k1] = w^(n2·k1·rev1(j1)))
@@ -57,6 +65,31 @@ def _digits_recentered(w: np.ndarray) -> np.ndarray:
     """uint32 [..] -> recentered byte digits int8 [4, ..]."""
     d = np.stack([((w >> (8 * u)) & 0xFF).astype(np.int32) - 128 for u in range(4)])
     return d.astype(np.int8)
+
+
+# digit-pair multiplicity per weight group g = u + v
+_CNT_G = np.array([1, 2, 3, 4, 3, 2, 1], np.int32)
+
+
+def _block_tables(w: np.ndarray):
+    """W [L, O, K] uint32 -> (blk [L, 7·O, 4·K] s8, rs [7, L, O] i32).
+
+    blk[l, g·O+o, u·K+k] = digit_{g-u}(W[l,o,k]) - 128 for 0 ≤ g-u < 4,
+    zero otherwise; rs[g] = Σ_{v: (g-v,v) valid… } — the per-group sum of
+    recentered W-digit row sums Σ_{u+v=g} rowsum(Wd_v), used by the
+    correction term."""
+    d = _digits_recentered(w)                    # [4, L, O, K] s8
+    L, O, K = w.shape
+    blk = np.zeros((L, 7 * O, 4 * K), np.int8)
+    rs = np.zeros((7, L, O), np.int64)
+    drs = d.astype(np.int64).sum(axis=-1)        # [4, L, O]
+    for g in range(7):
+        for u in range(4):
+            v = g - u
+            if 0 <= v < 4:
+                blk[:, g * O : (g + 1) * O, u * K : (u + 1) * K] = d[v]
+                rs[g] += drs[v]
+    return blk, rs.astype(np.int32)
 
 
 class Ntt4Tables:
@@ -125,15 +158,18 @@ class Ntt4Tables:
             for g in range(7):
                 cg[g, l] = pow(256, g, p) * R % p
 
-        # byte-decomposed matmul constants (+ recentered row sums)
-        self.w1_b = _digits_recentered(w1)          # [4, L, n1, n1] s8
-        self.w2_b = _digits_recentered(w2)
-        self.w1i_b = _digits_recentered(w1i)        # [4, L, n1, n1]
-        self.w2i_b = _digits_recentered(w2i)
-        self.w1_rs = self.w1_b.astype(np.int32).sum(axis=-1)   # [4, L, O]
-        self.w2_rs = self.w2_b.astype(np.int32).sum(axis=-1)
-        self.w1i_rs = self.w1i_b.astype(np.int32).sum(axis=-1)
-        self.w2i_rs = self.w2i_b.astype(np.int32).sum(axis=-1)
+        # byte-decomposed matmul constants: the digit convolution
+        # G_g = Σ_{u+v=g} Wd_v @ Xd_u is encoded as ONE block matmul per
+        # transform step — W'[g·O+o, u·K+k] = Wd_{g-u}[o,k] (recentered s8,
+        # zero block where g-u ∉ [0,4)) so the einsum output rows ARE the 7
+        # digit-weight groups.  Versus the 4-matmul/16-split formulation
+        # this trades ~1.75× more (nearly free) MXU MACs for eliminating
+        # every int32 partial-plane materialization — measured 3.5 ms →
+        # MXU-bound sub-ms at the [64, 6, 8192] bench shape.
+        self.w1_blk, self.w1_rs = _block_tables(w1)   # [L, 7·O, 4·K] s8
+        self.w2_blk, self.w2_rs = _block_tables(w2)
+        self.w1i_blk, self.w1i_rs = _block_tables(w1i)
+        self.w2i_blk, self.w2i_rs = _block_tables(w2i)
         self.tw_mid = tw_mid
         self.tw_mid_i = tw_mid_i
         self.twist = twist.reshape(L, n1, n2)
@@ -143,62 +179,66 @@ class Ntt4Tables:
         self.cg = cg
 
 
-def _modmat_rows(wb, w_rs, x, tb, contract_rows: bool):
+def _modmat_rows(wblk, w_rs, x, tb, contract_rows: bool):
     """Exact mod-p matmul with byte-decomposed operands.
 
     contract_rows: out[b,l,o,c] = Σ_k W[l,o,k]·x[b,l,k,c]
     else (cols):   out[b,l,r,o] = Σ_c W[l,o,c]·x[b,l,r,c]
-    x: uint32 canonical residues; W given as recentered s8 digits wb
-    [4, L, O, K] with row sums w_rs [4, L, O].  Returns uint32 mod p.
+    x: uint32 canonical residues; W given as the digit-convolution block
+    operand wblk [L, 7·O, 4·K] (see ``_block_tables``) with per-group row
+    sums w_rs [7, L, O].  Returns uint32 mod p.
 
-    The four W digit planes are stacked into one [L, 4·O, K] operand so
-    each x digit needs ONE matmul (4 total instead of 16) — the larger
-    output dimension keeps the MXU tiles full; the per-(u,v) partials are
-    split back out of the stacked rows for the digit-weight grouping.
+    ONE s8 matmul produces all 7 digit-weight groups directly
+    (G_g = Σ_{u+v=g} Wd_v @ Xd_u via the block structure of wblk); the
+    recentering corrections are rank-1 broadcasts per group, and the only
+    int32 tensor ever materialized is the [.., 7·O, C] group stack.
     """
-    O, K = wb.shape[-2], wb.shape[-1]
+    O = wblk.shape[-2] // 7
+    K = wblk.shape[-1] // 4
     p = tb.p.reshape(tb.L, 1, 1)
     pni = tb.pni.reshape(tb.L, 1, 1)
-    wstack = jnp.asarray(
-        np.ascontiguousarray(np.moveaxis(wb, 0, 1)).reshape(tb.L, 4 * O, K)
-    )  # [L, 4v·O, K]
     xi = x.astype(I32)
-    groups = [None] * 7
-    for u in range(4):
-        xu = (((xi >> (8 * u)) & 0xFF) - 128).astype(jnp.int8)
-        if contract_rows:
-            csum = jnp.sum(xu.astype(I32), axis=-2)        # [B, L, C]
-            s8a = jnp.einsum(
-                "lok,blkc->bloc", wstack, xu, preferred_element_type=I32
-            )  # [B, L, 4v·O, C]
-            s8a = s8a.reshape(s8a.shape[:2] + (4, O) + s8a.shape[3:])
-        else:
-            csum = jnp.sum(xu.astype(I32), axis=-1)        # [B, L, R]
-            s8a = jnp.einsum(
-                "loc,blrc->blro", wstack, xu, preferred_element_type=I32
-            )  # [B, L, R, 4v·O]
-            s8a = s8a.reshape(s8a.shape[:3] + (4, O))
-        for v in range(4):
-            if contract_rows:
-                s8 = s8a[:, :, v]
-                corr = (
-                    128 * csum[:, :, None, :]
-                    + 128 * jnp.asarray(w_rs[v])[None, :, :, None]
-                )
-            else:
-                s8 = s8a[..., v, :]
-                corr = (
-                    128 * csum[:, :, :, None]
-                    + 128 * jnp.asarray(w_rs[v])[None, :, None, :]
-                )
-            s = s8 + corr + np.int32(K * 16384)
-            g = u + v
-            groups[g] = s if groups[g] is None else groups[g] + s
+    ax = -2 if contract_rows else -1
+    xd = jnp.concatenate(
+        [(((xi >> (8 * u)) & 0xFF) - 128).astype(jnp.int8) for u in range(4)],
+        axis=ax,
+    )  # digits stacked on the contraction axis
+    if contract_rows:
+        B_, L_, _, C_ = xd.shape
+        csum_u = jnp.sum(xd.astype(I32).reshape(B_, L_, 4, K, C_), axis=-2)
+        # [B, L, 4, C]
+        grp = jnp.einsum(
+            "lgk,blkc->blgc", jnp.asarray(wblk), xd,
+            preferred_element_type=I32,
+        ).reshape(B_, L_, 7, O, C_)
+    else:
+        B_, L_, R_, _ = xd.shape
+        csum_u = jnp.sum(xd.astype(I32).reshape(B_, L_, R_, 4, K), axis=-1)
+        # [B, L, R, 4]
+        grp = jnp.einsum(
+            "lgc,blrc->blrg", jnp.asarray(wblk), xd,
+            preferred_element_type=I32,
+        ).reshape(B_, L_, R_, 7, O)
     out = None
     for g in range(7):
-        term = mont_mul(
-            groups[g].astype(U32), tb.cg[g].reshape(tb.L, 1, 1), p, pni
-        )
+        u_lo, u_hi = max(0, g - 3), min(3, g)
+        if contract_rows:
+            csum_g = jnp.sum(csum_u[:, :, u_lo : u_hi + 1], axis=2)  # [B,L,C]
+            s = (
+                grp[:, :, g]
+                + 128 * csum_g[:, :, None, :]
+                + 128 * jnp.asarray(w_rs[g])[None, :, :, None]
+                + np.int32(int(_CNT_G[g]) * K * 16384)
+            )
+        else:
+            csum_g = jnp.sum(csum_u[..., u_lo : u_hi + 1], axis=-1)  # [B,L,R]
+            s = (
+                grp[..., g, :]
+                + 128 * csum_g[..., None]
+                + 128 * jnp.asarray(w_rs[g])[None, :, None, :]
+                + np.int32(int(_CNT_G[g]) * K * 16384)
+            )
+        term = mont_mul(s.astype(U32), tb.cg[g].reshape(tb.L, 1, 1), p, pni)
         out = term if out is None else add_mod(out, term, p)
     return out
 
@@ -213,9 +253,9 @@ def ntt4(x, tb: Ntt4Tables):
     pni = tb.pni.reshape(L, 1, 1)
     xb = x.reshape((-1, L, n1, n2))
     b = mont_mul(xb, tb.twist[None], p, pni)
-    g = _modmat_rows(tb.w1_b, tb.w1_rs, b, tb, contract_rows=True)
+    g = _modmat_rows(tb.w1_blk, tb.w1_rs, b, tb, contract_rows=True)
     h = mont_mul(g, tb.tw_mid[None], p, pni)
-    out = _modmat_rows(tb.w2_b, tb.w2_rs, h, tb, contract_rows=False)
+    out = _modmat_rows(tb.w2_blk, tb.w2_rs, h, tb, contract_rows=False)
     return out.reshape(lead + (L, n))
 
 
@@ -227,8 +267,8 @@ def intt4(x, tb: Ntt4Tables):
     p = tb.p.reshape(L, 1, 1)
     pni = tb.pni.reshape(L, 1, 1)
     yb = x.reshape((-1, L, n1, n2))
-    pcol = _modmat_rows(tb.w2i_b, tb.w2i_rs, yb, tb, contract_rows=False)
+    pcol = _modmat_rows(tb.w2i_blk, tb.w2i_rs, yb, tb, contract_rows=False)
     q = mont_mul(pcol, tb.tw_mid_i[None], p, pni)
-    bb = _modmat_rows(tb.w1i_b, tb.w1i_rs, q, tb, contract_rows=True)
+    bb = _modmat_rows(tb.w1i_blk, tb.w1i_rs, q, tb, contract_rows=True)
     out = mont_mul(bb, tb.untwist[None], p, pni)
     return out.reshape(lead + (L, n))

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Measure how many evaluation levels a parameter set can shed.
+
+Every retained RNS limb costs ~1/L of the whole online phase (all NTT /
+BEHZ / relin work is per-limb), so the analytic levels' safety margin is
+paid in query latency.  For each config this tool runs the worst-case
+dense probe (engine/probe.py: every bin at max_items_per_bin, production
+query path) at progressively LOWER levels and reports the lowest setting
+that stays exact with ≥ MIN_BUDGET_BITS of residual budget — the entry to
+record in apsu_tpu/db/measured_levels.py.
+
+Run on the chip:
+
+    python tools/level_calibrate.py 16M-4096 [more stems...]
+
+Candidate order per PS config: (ps-1, result-1) → (ps, result-1) →
+(ps-1, result) — accepted greedily; non-PS configs try eval-1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["APSU_NO_LEVEL_OVERRIDES"] = "1"  # measure from the analytic base
+
+import numpy as np  # noqa: E402
+
+PARAM_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "parameters"
+)
+
+
+def probe_at(params, levels: dict, seed: int = 0):
+    """Run the dense probe with a temporary override table entry."""
+    from apsu_tpu.db import measured_levels
+    from apsu_tpu.engine.probe import dense_query_probe
+
+    key = measured_levels.params_key(params)
+    saved = os.environ.pop("APSU_NO_LEVEL_OVERRIDES", None)
+    measured_levels.MEASURED[key] = dict(levels)
+    try:
+        return dense_query_probe(params, np.random.default_rng(seed), n_caches=2)
+    finally:
+        measured_levels.MEASURED.pop(key, None)
+        if saved:
+            os.environ["APSU_NO_LEVEL_OVERRIDES"] = saved
+
+
+def calibrate(stem: str) -> dict:
+    from apsu_tpu.core.params import PSUParams
+    from apsu_tpu.db.measured_levels import MIN_BUDGET_BITS, params_key
+    from apsu_tpu.db.receiver_db import ReceiverDB
+
+    params = PSUParams.load_file(os.path.join(PARAM_DIR, f"{stem}.json"))
+    db = ReceiverDB(params, oprf=None)
+    uses_ps = params.query_params.ps_low_degree > 0
+    out = {"file": stem, "key": params_key(params)}
+    if uses_ps:
+        ps0, r0 = db.ps_level(), db.result_level()
+        out["base"] = {"ps": ps0, "result": r0}
+        candidates = [
+            {"ps": ps0 - 1, "result": r0 - 1},
+            {"ps": ps0, "result": r0 - 1},
+            {"ps": ps0 - 1, "result": r0},
+        ]
+        candidates = [
+            c
+            for c in candidates
+            if c["result"] >= 1 and c["ps"] >= c["result"]
+        ]
+    else:
+        e0 = db.eval_level()
+        out["base"] = {"eval": e0}
+        candidates = [{"eval": e0 - 1}] if e0 > 1 else []
+    for cand in candidates:
+        t0 = time.perf_counter()
+        try:
+            r = probe_at(params, cand)
+        except Exception as e:  # noqa: BLE001 — chip OOM etc.: report + skip
+            print(f"  {stem} {cand}: ERROR {e}", flush=True)
+            continue
+        dt = time.perf_counter() - t0
+        ok = r.exact and r.n_matched > 0 and r.noise_budget_bits >= MIN_BUDGET_BITS
+        print(
+            f"  {stem} {cand}: exact={r.exact} wrong={r.n_wrong} "
+            f"budget={r.noise_budget_bits:.1f} ({dt:.0f}s) "
+            f"{'ACCEPT' if ok else 'reject'}",
+            flush=True,
+        )
+        if ok:
+            out["accepted"] = cand
+            out["budget"] = r.noise_budget_bits
+            break
+    return out
+
+
+def main(argv=None):
+    stems = (argv or sys.argv[1:]) or ["16M-4096"]
+    results = [calibrate(s) for s in stems]
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
