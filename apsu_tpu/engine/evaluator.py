@@ -45,6 +45,20 @@ def _pallas_interpret() -> bool:
     )
 
 
+def _powers_at_eval() -> bool:
+    """Opt-in (APSU_POWERS_AT_EVAL=1): mod-switch the query sources down to
+    the evaluation level BEFORE running the power wavefront, so every DAG
+    multiply/relinearization runs on eval-level limbs instead of the full
+    chain — saving (k - lvl)/k of the powers phase.  Noise: the mod-switch
+    rounding floor enters before the DAG and is amplified by its depth
+    (~t·√N per ct×ct level), so this trades measured budget for speed —
+    gate on a chip-measured margin (tools/level_calibrate.py) before
+    turning it on for a config."""
+    import os
+
+    return bool(os.environ.get("APSU_POWERS_AT_EVAL"))
+
+
 def _schedule_key(schedule: PowerSchedule):
     """Hashable identity of a static wavefront schedule (jit cache key)."""
     return (
@@ -75,26 +89,37 @@ def compute_power_tensor(
     srcs = tuple(sorted(source_cts))
     need_rk = bool(schedule.levels)
 
+    at_eval = _powers_at_eval()
+
     def impl(*args):
         if need_rk:
             ksk, *datas = args
             rk = RelinKey(ksk, k)
         else:
             datas, rk = args, None
+        wf_lvl = eval_level if at_eval else k
         have = {
-            s: Ciphertext(d, is_ntt=False, level=k) for s, d in zip(srcs, datas)
+            s: Ciphertext(
+                bfv.mod_switch_to(
+                    Ciphertext(d, is_ntt=False, level=k), wf_lvl
+                ).data,
+                is_ntt=False,
+                level=wf_lvl,
+            )
+            for s, d in zip(srcs, datas)
         }
-        have = _run_schedule(bfv, have, schedule, rk)
+        have = _run_schedule(bfv, have, schedule, rk, level=wf_lvl)
         stack = jnp.stack(
             [have[p].data for p in range(1, schedule.max_power + 1)]
         )  # [D, ..., 2, L, N]
         switched = bfv.mod_switch_to(
-            Ciphertext(stack, is_ntt=False, level=k), eval_level
+            Ciphertext(stack, is_ntt=False, level=wf_lvl), eval_level
         )
         return bfv.to_ntt(switched).data
 
     fn = bfv._jitted(
-        ("power_tensor", _schedule_key(schedule), eval_level, srcs), impl
+        ("power_tensor", _schedule_key(schedule), eval_level, srcs, at_eval),
+        impl,
     )
     datas = [source_cts[s].data for s in srcs]
     if need_rk:
@@ -110,17 +135,19 @@ def _run_schedule(
     schedule: PowerSchedule,
     relin_key: Optional[RelinKey],
     mul_chunk: int = 8,
+    level: Optional[int] = None,
 ) -> Dict[int, Ciphertext]:
     """Level-synchronous wavefront: each dag level executes as batched
     multiplies + relinearizations over its (target, a, b) products, chunked
     to ``mul_chunk`` targets so the BEHZ temporaries (which span q ∪ Bsk)
-    stay bounded while the DB cache is HBM-resident."""
-    k = bfv.q.k
-    for level in schedule.levels:
+    stay bounded while the DB cache is HBM-resident.  ``level`` is the
+    modulus level the wavefront runs at (default: full chain)."""
+    k = level if level is not None else bfv.q.k
+    for level_grp in schedule.levels:
         if relin_key is None:
             raise ValueError("power schedule requires relinearization keys")
-        for c0 in range(0, len(level), mul_chunk):
-            group = level[c0 : c0 + mul_chunk]
+        for c0 in range(0, len(level_grp), mul_chunk):
+            group = level_grp[c0 : c0 + mul_chunk]
             lhs = jnp.stack([have[a].data for (_, a, _) in group])
             rhs = jnp.stack([have[b].data for (_, _, b) in group])
             prod = bfv.multiply(
@@ -160,6 +187,8 @@ def compute_ps_power_tensors(
     )
     need_rk = bool(plan.low.levels) or bool(plan.high.levels)
 
+    at_eval = _powers_at_eval()
+
     def impl(*args):
         if need_rk:
             ksk, *datas = args
@@ -167,16 +196,21 @@ def compute_ps_power_tensors(
         else:
             datas, rk = args, None
         nl = len(low_srcs)
-        low_have = {
-            s: Ciphertext(d, is_ntt=False, level=k)
-            for s, d in zip(low_srcs, datas[:nl])
-        }
-        high_have = {
-            s: Ciphertext(d, is_ntt=False, level=k)
-            for s, d in zip(high_srcs, datas[nl:])
-        }
-        low = _run_schedule(bfv, low_have, plan.low, rk)
-        high = _run_schedule(bfv, high_have, plan.high, rk)
+        wf_lvl = lvl if at_eval else k
+
+        def src(d):
+            return Ciphertext(
+                bfv.mod_switch_to(
+                    Ciphertext(d, is_ntt=False, level=k), wf_lvl
+                ).data,
+                is_ntt=False,
+                level=wf_lvl,
+            )
+
+        low_have = {s: src(d) for s, d in zip(low_srcs, datas[:nl])}
+        high_have = {s: src(d) for s, d in zip(high_srcs, datas[nl:])}
+        low = _run_schedule(bfv, low_have, plan.low, rk, level=wf_lvl)
+        high = _run_schedule(bfv, high_have, plan.high, rk, level=wf_lvl)
         low_stack = jnp.stack(
             [low[p].data for p in range(1, plan.low.max_power + 1)]
         )
@@ -184,10 +218,10 @@ def compute_ps_power_tensors(
             [high[p].data for p in range(1, plan.high.max_power + 1)]
         )
         low_sw = bfv.mod_switch_to(
-            Ciphertext(low_stack, is_ntt=False, level=k), lvl
+            Ciphertext(low_stack, is_ntt=False, level=wf_lvl), lvl
         )
         high_sw = bfv.mod_switch_to(
-            Ciphertext(high_stack, is_ntt=False, level=k), lvl
+            Ciphertext(high_stack, is_ntt=False, level=wf_lvl), lvl
         )
         low_ntt = bfv.to_ntt(low_sw).data
         high_coeff = high_sw.data
@@ -205,6 +239,7 @@ def compute_ps_power_tensors(
             low_srcs,
             high_srcs,
             batch_first,
+            at_eval,
         ),
         impl,
     )

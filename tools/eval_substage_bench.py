@@ -109,21 +109,39 @@ def main():
         print(f"{name:12s} {dt:8.1f} ms   (compile {t_compile:.0f}s)")
         return out
 
-    # 1. inner fori dot (the cache5 reshape + ell-step loop)
+    # 1. inner dot, i-chunked exactly like production (evaluator.rows_impl:
+    # CH terms per fori iteration so the ~1.1 GB accumulator is touched
+    # ell/CH times instead of ell times)
     def inner_fn(cache_r, low_r):
         cache5 = cache_r[:, : (nh + 1) * ph].reshape(
             (R, nh + 1, ph) + cache_r.shape[2:]
         )
+        CH = min(11, ell)
+        nch = ell // CH
 
-        def body(i, acc):
+        def body(ci, acc):
+            i0 = ci * CH
+            pw = jax.lax.dynamic_slice_in_dim(low_r, i0, CH, axis=1)
+            pt = jax.lax.dynamic_slice_in_dim(cache5, i0 + 1, CH, axis=2)
+            part = None
+            for u in range(CH):
+                term = mont_mul(
+                    pw[:, u, None], pt[:, :, u, None], q.p_d, q.pni_d
+                )
+                part = term if part is None else add_mod(part, term, q.p_d)
+            return add_mod(acc, part, q.p_d)
+
+        acc = jax.lax.fori_loop(
+            0, nch, body, jnp.zeros((R, nh + 1, 2, L, N), jnp.uint32)
+        )
+
+        def tail(i, acc):
             pw = jax.lax.dynamic_index_in_dim(low_r, i - 1, axis=1, keepdims=False)
             pt = jax.lax.dynamic_index_in_dim(cache5, i, axis=2, keepdims=False)
             term = mont_mul(pw[:, None], pt[:, :, None], q.p_d, q.pni_d)
             return add_mod(acc, term, q.p_d)
 
-        return jax.lax.fori_loop(
-            1, ell + 1, body, jnp.zeros((R, nh + 1, 2, L, N), jnp.uint32)
-        )
+        return jax.lax.fori_loop(nch * CH + 1, ell + 1, tail, acc)
 
     timeit("inner", inner_fn, cache_r, low_r)
 
