@@ -817,15 +817,23 @@ class BfvContext:
         def impl(data, ksk_full):
             ksk = ksk_full[:lvl][:, :, limb_cols, :]
             c2 = data[..., 2, :, :]  # [..., Lq, N] plain
-            u = None
-            for i in range(q.k):
-                d = c2[..., i : i + 1, :]  # digit: integer < q_i, [..., 1, N]
-                d_mont = mont_mul(d, qp.r2_d, qp.p_d, qp.pni_d)  # [..., Lqp, N]
-                d_ntt = qp.ntt.ntt(d_mont)
-                term = mont_mul(
-                    d_ntt[..., None, :, :], ksk[i], qp.p_d, qp.pni_d
-                )  # [..., 2, Lqp, N]
-                u = term if u is None else add_mod(u, term, qp.p_d)
+            # all k digit lifts ride ONE batched forward NTT (digit axis
+            # stacked in front) instead of k sequential transforms; the
+            # digit-sum order is irrelevant bitwise (modular adds are exact)
+            digits = jnp.stack(
+                [c2[..., i : i + 1, :] for i in range(q.k)]
+            )  # [k, ..., 1, N] each an integer < q_i
+            d_mont = mont_mul(digits, qp.r2_d, qp.p_d, qp.pni_d)  # [k,...,Lqp,N]
+            d_ntt = qp.ntt.ntt(d_mont)
+            ksk_b = ksk.reshape(
+                (q.k,) + (1,) * (c2.ndim - 2) + ksk.shape[1:]
+            )  # [k, 1..., 2, Lqp, N] broadcast over the batch dims
+            terms = mont_mul(
+                d_ntt[..., None, :, :], ksk_b, qp.p_d, qp.pni_d
+            )  # [k, ..., 2, Lqp, N]
+            u = terms[0]
+            for i in range(1, q.k):
+                u = add_mod(u, terms[i], qp.p_d)
             u = qp.from_mont(qp.ntt.intt(u))  # [..., 2, Lqp, N] plain coeff
             div = self._div_p_level(lvl)
             u_q = div(u[..., : q.k, :], u[..., q.k :, :])  # ÷ P

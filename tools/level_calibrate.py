@@ -13,8 +13,8 @@ Run on the chip:
 
     python tools/level_calibrate.py 16M-4096 [more stems...]
 
-Candidate order per PS config: (ps-1, result-1) → (ps, result-1) →
-(ps-1, result) — accepted greedily; non-PS configs try eval-1.
+PS configs descend (ps-1, result-1) repeatedly while accepted, then take
+one asymmetric refinement step; non-PS configs descend eval-1 repeatedly.
 """
 
 from __future__ import annotations
@@ -59,30 +59,13 @@ def calibrate(stem: str) -> dict:
     db = ReceiverDB(params, oprf=None)
     uses_ps = params.query_params.ps_low_degree > 0
     out = {"file": stem, "key": params_key(params)}
-    if uses_ps:
-        ps0, r0 = db.ps_level(), db.result_level()
-        out["base"] = {"ps": ps0, "result": r0}
-        candidates = [
-            {"ps": ps0 - 1, "result": r0 - 1},
-            {"ps": ps0, "result": r0 - 1},
-            {"ps": ps0 - 1, "result": r0},
-        ]
-        candidates = [
-            c
-            for c in candidates
-            if c["result"] >= 1 and c["ps"] >= c["result"]
-        ]
-    else:
-        e0 = db.eval_level()
-        out["base"] = {"eval": e0}
-        candidates = [{"eval": e0 - 1}] if e0 > 1 else []
-    for cand in candidates:
+    def try_one(cand) -> bool:
         t0 = time.perf_counter()
         try:
             r = probe_at(params, cand)
         except Exception as e:  # noqa: BLE001 — chip OOM etc.: report + skip
             print(f"  {stem} {cand}: ERROR {e}", flush=True)
-            continue
+            return False
         dt = time.perf_counter() - t0
         ok = r.exact and r.n_matched > 0 and r.noise_budget_bits >= MIN_BUDGET_BITS
         print(
@@ -92,14 +75,43 @@ def calibrate(stem: str) -> dict:
             flush=True,
         )
         if ok:
-            out["accepted"] = cand
+            out["accepted"] = dict(cand)
             out["budget"] = r.noise_budget_bits
-            break
+        return ok
+
+    # iterative descent: keep shedding a level from each knob while the
+    # probe stays exact with margin (the floor often binds only several
+    # levels below the analytic pick)
+    if uses_ps:
+        ps0, r0 = db.ps_level(), db.result_level()
+        out["base"] = {"ps": ps0, "result": r0}
+        ps, r = ps0, r0
+        while ps > 1 and r > 1 and try_one({"ps": ps - 1, "result": r - 1}):
+            ps, r = ps - 1, r - 1
+        # one asymmetric refinement step from the best point
+        if r > 1 and try_one({"ps": ps, "result": r - 1}):
+            r -= 1
+        elif ps > 1 and ps > r and try_one({"ps": ps - 1, "result": r}):
+            ps -= 1
+    else:
+        e0 = db.eval_level()
+        out["base"] = {"eval": e0}
+        e = e0
+        while e > 1 and try_one({"eval": e - 1}):
+            e -= 1
     return out
 
 
 def main(argv=None):
-    stems = (argv or sys.argv[1:]) or ["16M-4096"]
+    args = list(argv or sys.argv[1:])
+    if "--cpu" in args:
+        # the probe is deterministic (all randomness comes from the seeded
+        # host rng), so a CPU measurement is bit-identical to the chip's
+        args.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    stems = args or ["16M-4096"]
     results = [calibrate(s) for s in stems]
     print(json.dumps(results, indent=1))
 
