@@ -83,12 +83,18 @@ class Sender:
         rng sources ALL party secrets (BFV secret key, encryption noise, OT
         state); defaults to an OS-entropy AES-CTR CsRng.  Pass a fixed-key
         CsRng (or a numpy Generator) only for deterministic tests."""
+        from apsu_tpu.db.measured_levels import query_level
+
         self.params = params
         self.oprf = oprf
         self.oprf_factory = oprf_factory
         self.bfv = BfvContext(params.seal_params)
         self.rng = rng if rng is not None else CsRng()
         self.sk = self.bfv.gen_secret_key(self.rng)
+        # fresh-query encryption level: full chain unless a measured
+        # "query" override sheds limbs (both parties derive the same value
+        # from the shared parameter content)
+        self.query_lvl = query_level(params, len(self.bfv.q_primes))
         needs_relin = bool(
             plan_query(
                 params.query_params.query_powers,
@@ -98,7 +104,9 @@ class Sender:
         ) or params.query_params.ps_low_degree > 0
         self.rk_seed = bytes(self.rng.bytes(32)) if needs_relin else None
         self.rk = (
-            self.bfv.gen_relin_key(self.sk, self.rng, a_seed=self.rk_seed)
+            self.bfv.gen_relin_key(
+                self.sk, self.rng, a_seed=self.rk_seed, level=self.query_lvl
+            )
             if needs_relin
             else None
         )
@@ -147,7 +155,7 @@ class Sender:
         pt = self.bfv.encode(stack)
         a_seed = bytes(self.rng.bytes(32))
         ct = self.bfv.encrypt_symmetric(
-            pt, self.sk, self.rng, a_seed=a_seed
+            pt, self.sk, self.rng, a_seed=a_seed, level=self.query_lvl
         )  # [P, B, 2, L, N]
         return QueryRequest(
             power_list=plist,
@@ -197,10 +205,13 @@ class Receiver:
     """DB side (large set)."""
 
     def __init__(self, params: PSUParams, db: ReceiverDB, rng=None):
+        from apsu_tpu.db.measured_levels import query_level
+
         self.params = params
         self.db = db
         self.bfv = db.bfv
         self.rng = rng if rng is not None else CsRng()
+        self.query_lvl = query_level(params, len(self.bfv.q_primes))
         self.plan = plan_query(
             params.query_params.query_powers,
             params.table_params.max_items_per_bin,
@@ -227,6 +238,11 @@ class Receiver:
             )
         if req.powers_data.shape[-1] != p.poly_degree:
             raise ValueError("ciphertext degree mismatch")
+        if req.powers_data.shape[-2] != self.query_lvl:
+            raise ValueError(
+                f"query ciphertexts carry {req.powers_data.shape[-2]} limbs; "
+                f"this parameter set encrypts at level {self.query_lvl}"
+            )
         # PS always relinearizes its outer ct×ct products, even when the
         # query powers directly cover both domains (matches Sender.__init__)
         needs_relin = (
@@ -239,14 +255,14 @@ class Receiver:
 
     def run_query(self, req: QueryRequest) -> QueryResponse:
         p = self.params
-        k = self.bfv.q.k
+        ql = self.query_lvl
         self.validate_query(req)
         cts = {
-            s: Ciphertext(req.powers_data[i], is_ntt=False, level=k)
+            s: Ciphertext(req.powers_data[i], is_ntt=False, level=ql)
             for i, s in enumerate(req.power_list)
         }
         rk = (
-            RelinKey(jnp.asarray(req.relin_key), k)
+            RelinKey(jnp.asarray(req.relin_key), ql)
             if req.relin_key is not None
             else None
         )

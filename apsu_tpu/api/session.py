@@ -282,15 +282,19 @@ def serve_db_party(
 
         meta = json.loads(bytes(obj).decode())
         plist = tuple(int(x) for x in meta["power_list"])
+        # both parties derive the fresh-query level from the shared params
+        # content (measured_levels "query" knob); the c0 limb count is
+        # cross-checked by Receiver.validate_query
+        ql = recv.query_lvl
         c0 = t.expect(OP_QUERY_DATA)
         a_seed = bytes(t.expect(OP_QUERY_DATA))
         if meta["has_rk"]:
             rk0 = t.expect(OP_QUERY_DATA)
             rk_seed = bytes(t.expect(OP_QUERY_DATA))
-            rk = recv.bfv.relin_key_from_seed(rk0, rk_seed).ksk
+            rk = recv.bfv.relin_key_from_seed(rk0, rk_seed, level=ql).ksk
         else:
             rk = None
-        powers = recv.bfv.ct_from_seed(c0, a_seed)
+        powers = recv.bfv.ct_from_seed(c0, a_seed, level=ql)
         t0 = time.perf_counter()
         resp = recv.run_query(
             QueryRequest(power_list=plist, powers_data=powers.data, relin_key=rk)

@@ -317,30 +317,40 @@ class BfvContext:
         return jnp.asarray(out)
 
     def gen_relin_key(
-        self, sk: SecretKey, rng: np.random.Generator, a_seed: Optional[bytes] = None
+        self,
+        sk: SecretKey,
+        rng: np.random.Generator,
+        a_seed: Optional[bytes] = None,
+        level: Optional[int] = None,
     ) -> RelinKey:
-        """ksk_i = (-(a_i·s + e_i) + P·g_i·s², a_i) mod QP, NTT/Montgomery form.
+        """ksk_i = (-(a_i·s + e_i) + P·g_i·s², a_i) mod Q_l·P, NTT/Montgomery.
 
-        g_i = q̂_i·[q̂_i^{-1}]_{q_i} (integer CRT basis element of q).
+        g_i = q̂_i·[q̂_i^{-1}]_{q_i} (integer CRT basis element of Q_level).
         a_seed: expand the public a_i rows from this seed so the key travels
         seed-compressed (relin_key_from_seed reconstructs peer-side).
+        level: generate over a REDUCED chain prefix Q_level·P — the key then
+        serves any relinearization at ct level ≤ level (the CRT basis
+        restricts exactly, see relinearize), with (k-level) fewer digit rows
+        AND limb columns on the wire.
         """
         if self.qp is None:
             raise ValueError("no special prime: relinearization unavailable")
-        qp = self.qp
+        lvl = level if level is not None else self.q.k
+        base = self.levels[lvl]
+        qp = self._qp_level(lvl)
         P = self.special
         pg_monts = []
-        for i in range(self.q.k):
-            g = self.q.phat[i] * self.q.phat_inv[i]  # integer < Q
+        for i in range(lvl):
+            g = base.phat[i] * base.phat_inv[i]  # integer < Q_l
             pg_monts.append(
                 np.array([_mont(P * g % p, p) for p in qp.primes], dtype=np.uint32)
             )
         pg_mont = np.stack(pg_monts)[:, :, None]  # [kdig, kqp, 1] host numpy
         if a_seed is not None:
-            a = jnp.asarray(uniform_from_seed(a_seed, qp, (self.q.k,)))
+            a = jnp.asarray(uniform_from_seed(a_seed, qp, (lvl,)))
         else:
-            a = self._sample_uniform(rng, qp, shape_lead=(self.q.k,))  # plain coeff
-        e = self._sample_error(rng, qp, shape_lead=(self.q.k,))
+            a = self._sample_uniform(rng, qp, shape_lead=(lvl,))  # plain coeff
+        e = self._sample_error(rng, qp, shape_lead=(lvl,))
 
         def impl(s_ntt, a, e):
             s2_ntt = mont_mul(s_ntt, s_ntt, qp.p_d, qp.pni_d)
@@ -354,19 +364,22 @@ class BfvContext:
             )
             return jnp.stack([k0, a_ntt], axis=1)  # [kdig, 2, kqp, N]
 
-        ksk = self._jitted("gen_relin_key", impl)(sk.ntt_mont(qp), a, e)
-        return RelinKey(ksk, level=len(self.q_primes))
+        ksk = self._jitted(("gen_relin_key", lvl), impl)(sk.ntt_mont(qp), a, e)
+        return RelinKey(ksk, level=lvl)
 
-    def relin_key_from_seed(self, k0, a_seed: bytes) -> RelinKey:
+    def relin_key_from_seed(
+        self, k0, a_seed: bytes, level: Optional[int] = None
+    ) -> RelinKey:
         """Rebuild a seed-compressed relin key: k0 = ksk[:, 0] rows
         [kdig, Lqp, N] NTT/mont + the public seed of the a_i rows."""
-        qp = self.qp
-        a = uniform_from_seed(a_seed, qp, (self.q.k,))
+        lvl = level if level is not None else self.q.k
+        qp = self._qp_level(lvl)
+        a = uniform_from_seed(a_seed, qp, (lvl,))
         f = self._jitted(
-            "rk_expand",
+            ("rk_expand", lvl),
             lambda k0, a: jnp.stack([k0, qp.ntt.ntt(qp.to_mont(a))], axis=1),
         )
-        return RelinKey(f(jnp.asarray(k0), jnp.asarray(a)), level=len(self.q_primes))
+        return RelinKey(f(jnp.asarray(k0), jnp.asarray(a)), level=lvl)
 
     # ------------------------------------------------------------------
     # encrypt / decrypt
@@ -377,15 +390,21 @@ class BfvContext:
         sk: SecretKey,
         rng: np.random.Generator,
         a_seed: Optional[bytes] = None,
+        level: Optional[int] = None,
     ) -> Ciphertext:
-        """pt_poly: [..., N] plaintext polynomial(s) mod t. Fresh full-level ct.
+        """pt_poly: [..., N] plaintext polynomial(s) mod t. Fresh symmetric ct.
 
         Batched: leading dims of pt_poly produce a batch of ciphertexts with
         data shape [..., 2, L, N].  a_seed: derive the uniform a component
         from this public seed (seed-compressed symmetric ciphertext — the
         wire then carries c0 + seed; ct_from_seed reconstructs peer-side).
+        level: encrypt directly at a REDUCED chain level (fewer limbs):
+        smaller upload and cheaper downstream ops at the same security
+        (smaller modulus, same N) — the per-parameter-set choice is
+        measured, not assumed (db/measured_levels.py "query" knob).
         """
-        q = self.q
+        lvl = level if level is not None else self.q.k
+        q = self.levels[lvl]
         pt = jnp.asarray(pt_poly, jnp.uint32)
         lead = pt.shape[:-1]
         if a_seed is not None:
@@ -399,19 +418,22 @@ class BfvContext:
             as_coeff = q.from_mont(
                 q.ntt.intt(mont_mul(a_ntt, s_ntt, q.p_d, q.pni_d))
             )
-            dm = self._scale_impl(pt, q.k)  # round(Q·m/t) mod q_i (plain)
+            dm = self._scale_impl(pt, lvl)  # round(Q_l·m/t) mod q_i (plain)
             c0 = add_mod(neg_mod(add_mod(as_coeff, e, q.p_d), q.p_d), dm, q.p_d)
             return jnp.stack([c0, a], axis=-3)
 
-        data = self._jitted("encrypt", impl)(pt, a, e, sk.ntt_mont(q))
-        return Ciphertext(data, is_ntt=False, level=q.k)
+        data = self._jitted(("encrypt", lvl), impl)(pt, a, e, sk.ntt_mont(q))
+        return Ciphertext(data, is_ntt=False, level=lvl)
 
-    def ct_from_seed(self, c0: np.ndarray, a_seed: bytes) -> Ciphertext:
+    def ct_from_seed(
+        self, c0: np.ndarray, a_seed: bytes, level: Optional[int] = None
+    ) -> Ciphertext:
         """Reconstruct seed-compressed fresh symmetric ciphertexts:
         c0 [..., L, N] plain coeff residues + the public a seed."""
-        a = uniform_from_seed(a_seed, self.q, tuple(c0.shape[:-2]))
+        lvl = level if level is not None else self.q.k
+        a = uniform_from_seed(a_seed, self.levels[lvl], tuple(c0.shape[:-2]))
         data = np.stack([np.asarray(c0), a], axis=-3)  # [..., 2, L, N]
-        return Ciphertext(jnp.asarray(data), is_ntt=False, level=self.q.k)
+        return Ciphertext(jnp.asarray(data), is_ntt=False, level=lvl)
 
     def decrypt_device(self, ct: Ciphertext, sk: SecretKey) -> jnp.ndarray:
         """Fully device-resident decryption via the BEHZ {t, γ} scale-and-
@@ -806,13 +828,17 @@ class BfvContext:
         """3-component -> 2-component via RNS-gadget key switching."""
         assert ct.size == 3 and not ct.is_ntt
         lvl = ct.level
+        klvl = rk.level  # the key's generation level (digit/limb extent)
+        assert lvl <= klvl, "relin key generated below the ciphertext level"
         q = self.levels[lvl]
         qp = self._qp_level(lvl)
-        # leveled key switching: full-level keys restrict exactly (the CRT
-        # basis element of digit i is divisible by every other retained
-        # prime), so slice digit rows 0..lvl-1 and limb columns
-        # {0..lvl-1, special} out of the full ksk
-        limb_cols = list(range(lvl)) + [self.q.k]
+        # leveled key switching: keys restrict exactly to any prefix level
+        # (the CRT basis element of digit i is ≡ δ_ij mod q_j and its P·g_i
+        # term vanishes mod P, so the restricted rows coincide with a key
+        # generated natively at lvl) — slice digit rows 0..lvl-1 and limb
+        # columns {0..lvl-1, special}; the special column sits at index klvl
+        # in a key generated over Q_klvl·P
+        limb_cols = list(range(lvl)) + [klvl]
 
         def impl(data, ksk_full):
             ksk = ksk_full[:lvl][:, :, limb_cols, :]
@@ -839,7 +865,7 @@ class BfvContext:
             u_q = div(u[..., : q.k, :], u[..., q.k :, :])  # ÷ P
             return add_mod(data[..., :2, :, :], u_q, q.p_d)
 
-        new = self._jitted(("relinearize", lvl), impl)(ct.data, rk.ksk)
+        new = self._jitted(("relinearize", lvl, klvl), impl)(ct.data, rk.ksk)
         return Ciphertext(new, is_ntt=False, level=lvl)
 
     def mod_switch_to(self, ct: Ciphertext, target_level: int) -> Ciphertext:

@@ -64,3 +64,20 @@ def lookup(params) -> Optional[Dict[str, int]]:
     if os.environ.get("APSU_NO_LEVEL_OVERRIDES"):
         return None
     return MEASURED.get(params_key(params))
+
+
+def query_level(params, n_limbs: int) -> int:
+    """Fresh-query encryption level: how many chain limbs the sender
+    encrypts its query powers (and generates its relin key) at.
+
+    Default: the full chain — the behavior every config is analytically
+    safe at.  A measured "query" entry lowers it: upload bytes and every
+    power-wavefront op scale linearly in limbs (the relin key roughly
+    quadratically), and a SMALLER modulus at the same N is at least as
+    secure — only the noise floor binds, which the calibration probe
+    measures (the wavefront then runs at this level before switching down
+    to the evaluation level)."""
+    ov = lookup(params)
+    if ov and "query" in ov:
+        return max(1, min(ov["query"], n_limbs))
+    return n_limbs

@@ -85,23 +85,24 @@ def compute_power_tensor(
     call-by-call only paid per-dispatch latency (~11 ms/call over a remote
     TPU tunnel, ~20 calls at the 16M shape).
     """
-    k = bfv.q.k
     srcs = tuple(sorted(source_cts))
+    src_lvl = source_cts[srcs[0]].level  # fresh query level (≤ full chain)
     need_rk = bool(schedule.levels)
+    rk_lvl = relin_key.level if relin_key is not None else None
 
     at_eval = _powers_at_eval()
 
     def impl(*args):
         if need_rk:
             ksk, *datas = args
-            rk = RelinKey(ksk, k)
+            rk = RelinKey(ksk, rk_lvl)
         else:
             datas, rk = args, None
-        wf_lvl = eval_level if at_eval else k
+        wf_lvl = eval_level if at_eval else src_lvl
         have = {
             s: Ciphertext(
                 bfv.mod_switch_to(
-                    Ciphertext(d, is_ntt=False, level=k), wf_lvl
+                    Ciphertext(d, is_ntt=False, level=src_lvl), wf_lvl
                 ).data,
                 is_ntt=False,
                 level=wf_lvl,
@@ -118,7 +119,10 @@ def compute_power_tensor(
         return bfv.to_ntt(switched).data
 
     fn = bfv._jitted(
-        ("power_tensor", _schedule_key(schedule), eval_level, srcs, at_eval),
+        (
+            "power_tensor", _schedule_key(schedule), eval_level, srcs,
+            src_lvl, rk_lvl, at_eval,
+        ),
         impl,
     )
     datas = [source_cts[s].data for s in srcs]
@@ -181,27 +185,29 @@ def compute_ps_power_tensors(
     ph = plan.ps_low_degree + 1
     k = bfv.q.k
     lvl = eval_level or k
+    src_lvl = next(iter(source_cts.values())).level  # fresh query level
     low_srcs = tuple(sorted(s for s in source_cts if s <= plan.ps_low_degree))
     high_srcs = tuple(
         sorted(s // ph for s in source_cts if s > plan.ps_low_degree)
     )
     need_rk = bool(plan.low.levels) or bool(plan.high.levels)
+    rk_lvl = relin_key.level if relin_key is not None else None
 
     at_eval = _powers_at_eval()
 
     def impl(*args):
         if need_rk:
             ksk, *datas = args
-            rk = RelinKey(ksk, k)
+            rk = RelinKey(ksk, rk_lvl)
         else:
             datas, rk = args, None
         nl = len(low_srcs)
-        wf_lvl = lvl if at_eval else k
+        wf_lvl = lvl if at_eval else src_lvl
 
         def src(d):
             return Ciphertext(
                 bfv.mod_switch_to(
-                    Ciphertext(d, is_ntt=False, level=k), wf_lvl
+                    Ciphertext(d, is_ntt=False, level=src_lvl), wf_lvl
                 ).data,
                 is_ntt=False,
                 level=wf_lvl,
@@ -238,6 +244,8 @@ def compute_ps_power_tensors(
             lvl,
             low_srcs,
             high_srcs,
+            src_lvl,
+            rk_lvl,
             batch_first,
             at_eval,
         ),
@@ -435,6 +443,7 @@ def eval_matching_polys_ps(
     single relinearization closes the sum.
     """
     lvl = eval_level or bfv.q.k
+    rk_lvl = relin_key.level  # key generation level (≥ lvl)
     q = bfv.levels[lvl]
     ph = ps_low_degree + 1
     B, C = coeff_cache.shape[0], coeff_cache.shape[1]
@@ -585,7 +594,7 @@ def eval_matching_polys_ps(
         )                                           # [R, 3, L, N]
         tot = tot.at[:, :2].set(add_mod(tot[:, :2], inner[:, 0], q.p_d))
         rel = bfv.relinearize(
-            Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, lvl)
+            Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, rk_lvl)
         )
         sw = bfv.mod_switch_to(rel, result_level)   # [R, 2, Lr, N]
         dm2 = bfv._scale_impl(bfv.encode(mask_r), result_level)
@@ -624,7 +633,7 @@ def eval_matching_polys_ps(
     for r0 in range(0, rows, row_chunk):
         size = min(rows, r0 + row_chunk) - r0
         fn = bfv._jitted(
-            ("ps_rows", size, ps_low_degree, nh, lvl, result_level),
+            ("ps_rows", size, ps_low_degree, nh, lvl, result_level, rk_lvl),
             chunk_impl(size),
         )
         out.append(

@@ -88,12 +88,14 @@ def dense_query_probe(
     stack = np.stack(
         [_pow_mod(qvec.astype(np.uint64), s, t).astype(np.uint32) for s in plist]
     )  # [P, B, N]
+    from apsu_tpu.db.measured_levels import query_level
+
     sk = bfv.gen_secret_key(rng)
-    ct = bfv.encrypt_symmetric(bfv.encode(stack), sk, rng)
-    k = bfv.q.k
-    cts = {s: Ciphertext(ct.data[i], is_ntt=False, level=k) for i, s in enumerate(plist)}
+    ql = query_level(p, len(bfv.q_primes))  # production fresh-query level
+    ct = bfv.encrypt_symmetric(bfv.encode(stack), sk, rng, level=ql)
+    cts = {s: Ciphertext(ct.data[i], is_ntt=False, level=ql) for i, s in enumerate(plist)}
     plan = plan_query(plist, K, p.query_params.ps_low_degree)
-    rk = bfv.gen_relin_key(sk, rng) if bfv.qp is not None else None
+    rk = bfv.gen_relin_key(sk, rng, level=ql) if bfv.qp is not None else None
 
     mask = rng.integers(0, t, size=(B, C, N), dtype=np.uint64).astype(np.uint32)
     if plan.uses_ps:

@@ -123,7 +123,10 @@ class ShardedEvaluator:
         products flattened and sharded across the mesh.  Element-for-element
         the single-device _run_schedule (engine/evaluator.py)."""
         bfv = self.bfv
-        k = bfv.q.k
+        # the wavefront runs at the SOURCE ciphertexts' level (the fresh
+        # query level — the full chain unless a measured "query" override
+        # sheds limbs)
+        k = next(iter(have.values())).level
         shard = NamedSharding(self.mesh, P(self.axis))
         for level in schedule.levels:
             if relin_key is None:
@@ -160,11 +163,11 @@ class ShardedEvaluator:
     ) -> jnp.ndarray:
         """Sharded analogue of engine.evaluator.compute_power_tensor."""
         bfv = self.bfv
+        src_lvl = next(iter(source_cts.values())).level
         have = self._run_schedule(dict(source_cts), schedule, relin_key)
         stack = jnp.stack([have[p].data for p in range(1, schedule.max_power + 1)])
-        k = bfv.q.k
         switched = bfv.mod_switch_to(
-            Ciphertext(stack, is_ntt=False, level=k), eval_level
+            Ciphertext(stack, is_ntt=False, level=src_lvl), eval_level
         )
         return bfv.to_ntt(switched).data
 
@@ -174,14 +177,14 @@ class ShardedEvaluator:
         ph = plan.ps_low_degree + 1
         low_src = {s: ct for s, ct in source_cts.items() if s <= plan.ps_low_degree}
         high_src = {s // ph: ct for s, ct in source_cts.items() if s > plan.ps_low_degree}
+        src_lvl = next(iter(source_cts.values())).level
         low = self._run_schedule(low_src, plan.low, relin_key)
         high = self._run_schedule(high_src, plan.high, relin_key)
-        k = bfv.q.k
-        lvl = eval_level or k
+        lvl = eval_level or bfv.q.k
         low_stack = jnp.stack([low[p].data for p in range(1, plan.low.max_power + 1)])
         high_stack = jnp.stack([high[p].data for p in range(1, plan.high.max_power + 1)])
-        low_sw = bfv.mod_switch_to(Ciphertext(low_stack, is_ntt=False, level=k), lvl)
-        high_sw = bfv.mod_switch_to(Ciphertext(high_stack, is_ntt=False, level=k), lvl)
+        low_sw = bfv.mod_switch_to(Ciphertext(low_stack, is_ntt=False, level=src_lvl), lvl)
+        high_sw = bfv.mod_switch_to(Ciphertext(high_stack, is_ntt=False, level=src_lvl), lvl)
         return bfv.to_ntt(low_sw).data, high_sw.data
 
     # ------------------------------------------------------------------
@@ -288,6 +291,7 @@ class ShardedEvaluator:
         """
         bfv = self.bfv
         lvl = eval_level
+        rk_lvl = relin_key.level  # key generation level (≥ lvl)
         q = bfv.levels[lvl]
         ph = ps_low_degree + 1
         B, C, pad = self.B, self.C, self.pad
@@ -385,7 +389,7 @@ class ShardedEvaluator:
             )                                           # [R, 3, L, N]
             tot = tot.at[:, :2].set(add_mod(tot[:, :2], inner[:, 0], q.p_d))
             rel = bfv.relinearize(
-                Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, lvl)
+                Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, rk_lvl)
             )
             sw = bfv.mod_switch_to(rel, result_level)   # [R, 2, Lr, N]
             rbase = bfv.levels[result_level]
@@ -411,8 +415,8 @@ class ShardedEvaluator:
             return rows_out[: B * C].reshape(B, C, 2, rbase.k, N)
 
         f = self.bfv._jitted(
-            ("sharded_eval_ps", lvl, result_level, id(self.mesh), nh, ell,
-             use_pallas),
+            ("sharded_eval_ps", lvl, result_level, rk_lvl, id(self.mesh), nh,
+             ell, use_pallas),
             jax.jit(impl, out_shardings=self.repl),
         )
         with self.mesh:
@@ -438,14 +442,14 @@ class ShardedReceiver(Receiver):
 
     def run_query(self, req: QueryRequest) -> QueryResponse:
         p = self.params
-        k = self.bfv.q.k
+        ql = self.query_lvl
         self.validate_query(req)
         cts = {
-            s: Ciphertext(req.powers_data[i], is_ntt=False, level=k)
+            s: Ciphertext(req.powers_data[i], is_ntt=False, level=ql)
             for i, s in enumerate(req.power_list)
         }
         rk = (
-            RelinKey(jnp.asarray(req.relin_key), k)
+            RelinKey(jnp.asarray(req.relin_key), ql)
             if req.relin_key is not None
             else None
         )

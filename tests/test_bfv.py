@@ -216,3 +216,60 @@ def test_device_decrypt_matches_host(ctx, keys):
     np.testing.assert_array_equal(
         jax.device_get(ctx.decrypt_device(low, sk)), ctx.decrypt(low, sk)
     )
+
+
+def test_leveled_encrypt_and_level_restricted_relin_key():
+    """Fresh-query level machinery (measured_levels "query" knob): encrypt
+    directly at a reduced level L < k, generate the relin key over Q_L·P,
+    and run the square→multiply→relinearize op mix entirely at/below L.
+    The restricted key must serve any ct level ≤ L exactly (the CRT basis
+    restricts digit-for-digit — bfv.relinearize docstring)."""
+    ctx = make_ctx(n=256, ref_bits=(48, 48, 48, 48, 28))
+    k = len(ctx.q_primes)
+    L = k - 2
+    rng = np.random.default_rng(61)
+    sk = ctx.gen_secret_key(rng)
+    rk = ctx.gen_relin_key(sk, rng, level=L)
+    assert rk.level == L and rk.ksk.shape[0] == L and rk.ksk.shape[2] == L + 1
+
+    v = rand_slots(ctx, rng, lo=1)
+    ct1 = ctx.encrypt_symmetric(np.asarray(ctx.encode(v)), sk, rng, level=L)
+    assert ct1.level == L and ct1.data.shape[-2] == L
+    # decrypts exactly at the reduced level
+    np.testing.assert_array_equal(
+        np.asarray(ctx.decode(ctx.decrypt(ct1, sk))), v
+    )
+    # square + relin AT the key's level, then multiply + relin BELOW it
+    ct2 = ctx.relinearize(ctx.square(ct1), rk)
+    ct2d = ctx.mod_switch_to(ct2, L - 1)
+    ct1d = ctx.mod_switch_to(ct1, L - 1)
+    ct3 = ctx.relinearize(ctx.multiply(ct2d, ct1d), rk)
+    got2 = np.asarray(ctx.decode(ctx.decrypt(ct2, sk)))
+    got3 = np.asarray(ctx.decode(ctx.decrypt(ct3, sk)))
+    v64 = v.astype(np.uint64)
+    np.testing.assert_array_equal(got2, (v64 * v64 % ctx.t).astype(np.uint32))
+    np.testing.assert_array_equal(
+        got3, (v64 * v64 % ctx.t * v64 % ctx.t).astype(np.uint32)
+    )
+
+
+def test_leveled_seed_compression_roundtrip():
+    """Seed-compressed fresh cts and relin keys reconstruct bit-identically
+    at a reduced level (the wire path of a "query"-overridden config)."""
+    ctx = make_ctx(n=256, ref_bits=(48, 48, 48, 28))
+    L = len(ctx.q_primes) - 1
+    rng = np.random.default_rng(62)
+    sk = ctx.gen_secret_key(rng)
+    v = rand_slots(ctx, rng)
+    a_seed, rk_seed = bytes(range(32)), bytes(range(32, 64))
+    ct = ctx.encrypt_symmetric(
+        np.asarray(ctx.encode(v)), sk, rng, a_seed=a_seed, level=L
+    )
+    c0 = np.asarray(ct.data[..., 0, :, :])
+    ct2 = ctx.ct_from_seed(c0, a_seed, level=L)
+    np.testing.assert_array_equal(np.asarray(ct.data), np.asarray(ct2.data))
+
+    rk = ctx.gen_relin_key(sk, rng, a_seed=rk_seed, level=L)
+    rk2 = ctx.relin_key_from_seed(np.asarray(rk.ksk[:, 0]), rk_seed, level=L)
+    assert rk2.level == L
+    np.testing.assert_array_equal(np.asarray(rk.ksk), np.asarray(rk2.ksk))

@@ -198,7 +198,7 @@ def main():
     timeit(
         "relin",
         lambda d, ksk: bfv.relinearize(
-            Ciphertext(d, is_ntt=False, level=lvl), RelinKey(ksk, lvl)
+            Ciphertext(d, is_ntt=False, level=lvl), RelinKey(ksk, rk.level)
         ).data,
         tot0, rk.ksk,
     )

@@ -15,6 +15,8 @@ Run on the chip:
 
 PS configs descend (ps-1, result-1) repeatedly while accepted, then take
 one asymmetric refinement step; non-PS configs descend eval-1 repeatedly.
+Finally the fresh-query encryption level descends from the full chain
+toward the eval/ps floor (upload bytes + the power wavefront scale in it).
 """
 
 from __future__ import annotations
@@ -82,6 +84,7 @@ def calibrate(stem: str) -> dict:
     # iterative descent: keep shedding a level from each knob while the
     # probe stays exact with margin (the floor often binds only several
     # levels below the analytic pick)
+    k = len(db.bfv.q_primes)
     if uses_ps:
         ps0, r0 = db.ps_level(), db.result_level()
         out["base"] = {"ps": ps0, "result": r0}
@@ -93,12 +96,20 @@ def calibrate(stem: str) -> dict:
             r -= 1
         elif ps > 1 and ps > r and try_one({"ps": ps - 1, "result": r}):
             ps -= 1
+        floor, best = ps, {"ps": ps, "result": r}
     else:
         e0 = db.eval_level()
         out["base"] = {"eval": e0}
         e = e0
         while e > 1 and try_one({"eval": e - 1}):
             e -= 1
+        floor, best = e, {"eval": e}
+    # query-level descent: the sender's fresh-encryption level (upload
+    # bytes + the whole power wavefront scale in it).  Must stay ≥ the
+    # eval/ps level (the wavefront mod-switches DOWN into it).
+    ql = k
+    while ql - 1 >= floor and try_one({**best, "query": ql - 1}):
+        ql -= 1
     return out
 
 
