@@ -134,11 +134,15 @@ def _phase_ps() -> dict:
     db.eval_lvl = lvl
     db.result_lvl = db.result_level()
 
-    # real encrypted query: source powers of a random query vector
+    # real encrypted query: source powers of a random query vector, at the
+    # production fresh-query level (measured_levels "query" knob)
+    from apsu_tpu.db.measured_levels import query_level
+
     rng = CsRng(b"bench-16M-4096-query-key0")
     bfv = db.bfv
     sk = bfv.gen_secret_key(rng)
-    rk = bfv.gen_relin_key(sk, rng)
+    ql = query_level(params, len(bfv.q_primes))
+    rk = bfv.gen_relin_key(sk, rng, level=ql)
     qvec = np.asarray(
         rng.integers(1, t, size=(B, N), dtype=np.uint64)
     ).astype(np.uint32)
@@ -146,7 +150,7 @@ def _phase_ps() -> dict:
     stack = np.stack(
         [_pow_mod(qvec.astype(np.uint64), s, t).astype(np.uint32) for s in plist]
     )
-    ct = bfv.encrypt_symmetric(bfv.encode(stack), sk, rng)
+    ct = bfv.encrypt_symmetric(bfv.encode(stack), sk, rng, level=ql)
     req = QueryRequest(power_list=plist, powers_data=ct.data, relin_key=rk.ksk)
     recv = Receiver(params, db, rng=CsRng(b"bench-16M-4096-recv-key0"))
 

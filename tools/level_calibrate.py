@@ -83,8 +83,22 @@ def calibrate(stem: str) -> dict:
 
     # iterative descent: keep shedding a level from each knob while the
     # probe stays exact with margin (the floor often binds only several
-    # levels below the analytic pick)
+    # levels below the analytic pick).  A committed MEASURED entry short-
+    # circuits the already-calibrated knobs (APSU_RECALIBRATE=1 redoes all).
+    from apsu_tpu.db.measured_levels import MEASURED
+
     k = len(db.bfv.q_primes)
+    known = MEASURED.get(params_key(params))
+    if known and not os.environ.get("APSU_RECALIBRATE"):
+        out["base"] = {"known": dict(known)}
+        best = {kk: v for kk, v in known.items() if kk != "query"}
+        floor = known.get("ps", known.get("eval", 1))
+        ql = known.get("query", k)
+        while ql - 1 >= floor and try_one({**best, "query": ql - 1}):
+            ql -= 1
+        if "accepted" not in out:  # nothing below the known point held
+            out["accepted"] = dict(known)
+        return out
     if uses_ps:
         ps0, r0 = db.ps_level(), db.result_level()
         out["base"] = {"ps": ps0, "result": r0}

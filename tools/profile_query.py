@@ -60,9 +60,12 @@ def main():
     cache = mk(k1, (B, C, planes, L, N), 1 << 20)
     ps_const = mk(k2, (B, C, nh + 1, N), int(t))
 
+    from apsu_tpu.db.measured_levels import query_level
+
     rng = CsRng(b"profile-query-key0")
     sk = bfv.gen_secret_key(rng)
-    rk = bfv.gen_relin_key(sk, rng)
+    ql = query_level(params, len(bfv.q_primes))
+    rk = bfv.gen_relin_key(sk, rng, level=ql)
     qvec = np.asarray(rng.integers(1, t, size=(B, N), dtype=np.uint64)).astype(
         np.uint32
     )
@@ -70,9 +73,9 @@ def main():
     stack = np.stack(
         [_pow_mod(qvec.astype(np.uint64), s, t).astype(np.uint32) for s in plist]
     )
-    ct = bfv.encrypt_symmetric(bfv.encode(stack), sk, rng)
+    ct = bfv.encrypt_symmetric(bfv.encode(stack), sk, rng, level=ql)
     cts = {
-        s: Ciphertext(ct.data[i], is_ntt=False, level=bfv.q.k)
+        s: Ciphertext(ct.data[i], is_ntt=False, level=ql)
         for i, s in enumerate(plist)
     }
 
