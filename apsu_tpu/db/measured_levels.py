@@ -45,18 +45,20 @@ def params_key(params) -> str:
 MEASURED: Dict[str, Dict[str, int]] = {
     # 16M-4096 / 16M-4096-32 (identical params): iterative descent accepted
     # ps=4/result=2 with 19.7 bits of residual budget; ps=3 overflowed.
+    # query=6 (fresh-encryption level) at 8.0 bits; query=5 overflowed —
+    # and likewise for every other 16M entry below (budgets 7.6-13.6).
     # 2026-08-18 calibration, tools/level_calibrate.py.
-    "771908e86c261b31": {"ps": 4, "result": 2},
+    "771908e86c261b31": {"ps": 4, "result": 2, "query": 6},
     # 16M-1 / 16M-1-32: ps=4/result=2 at 23.7 bits (ps=3 overflowed)
-    "178bf66cb3d99f55": {"ps": 4, "result": 2},
+    "178bf66cb3d99f55": {"ps": 4, "result": 2, "query": 6},
     # 16M-1024: ps=4/result=2 at 20.1 bits (ps=3 overflowed)
-    "c9e0dc0738635988": {"ps": 4, "result": 2},
+    "c9e0dc0738635988": {"ps": 4, "result": 2, "query": 6},
     # 16M-2048: ps=4/result=2 at 19.5 bits (ps=3 overflowed)
-    "78d723fcc718d5fc": {"ps": 4, "result": 2},
+    "78d723fcc718d5fc": {"ps": 4, "result": 2, "query": 6},
     # 16M-5535: ps=4/result=2 at 19.6 bits (ps=3 overflowed)
-    "b1a406a5ea0d9eea": {"ps": 4, "result": 2},
+    "b1a406a5ea0d9eea": {"ps": 4, "result": 2, "query": 6},
     # 16M-11041: ps=4/result=2 at 19.8 bits (ps=3 overflowed)
-    "7db80464df48a875": {"ps": 4, "result": 2},
+    "7db80464df48a875": {"ps": 4, "result": 2, "query": 6},
 }
 
 
