@@ -83,6 +83,20 @@ def mul_lo(a, b):
     return a.astype(U32) * b.astype(U32)
 
 
+def mul_hi(a, b):
+    """High 32 bits of the 64-bit product (16-bit limb schoolbook)."""
+    a = a.astype(U32)
+    b = b.astype(U32)
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    t = a0 * b0
+    w1 = a1 * b0 + (t >> 16)          # ≤ (2^16-1)² + 2^16-1: no overflow
+    w2 = a0 * b1 + (w1 & MASK16)
+    return a1 * b1 + (w1 >> 16) + (w2 >> 16)
+
+
 # ---------------------------------------------------------------------------
 # Montgomery arithmetic
 # ---------------------------------------------------------------------------
@@ -116,6 +130,42 @@ def sub_mod(a, b, p):
 
 def neg_mod(a, p):
     return jnp.where(a == 0, a, p - a)
+
+
+# ---------------------------------------------------------------------------
+# Shoup multiplication by a precomputed constant (Harvey, "Faster arithmetic
+# for number-theoretic transforms", J. Symb. Comput. 2014)
+#
+# For a FIXED multiplier c < p with precomputed c' = floor(c·2^32/p), any
+# uint32 x (no bound below 2^32) satisfies
+#
+#     q = hi(x·c');   t = (x·c − q·p) mod 2^32  ∈ [0, 2p)
+#
+# i.e. one mul_hi + two wraparound multiplies + one subtraction, versus
+# mont_mul's two full wide multiplies + REDC — ~2× fewer VPU ops.  The
+# result is x·c mod p up to one conditional subtraction.  Requires p < 2^31
+# (all bases here use p < 2^30).  Unlike mont_mul there is NO Montgomery
+# R-factor: shoup_mul(x, c) literally computes x·c mod p, so a Montgomery-
+# form x stays in Montgomery form when multiplied by a plain constant c.
+# ---------------------------------------------------------------------------
+
+def shoup_pair(c: np.ndarray, p: np.ndarray):
+    """Host precompute: c' = floor(c·2^32 / p) for constant(s) c < p."""
+    c64 = np.asarray(c, np.uint64)
+    p64 = np.asarray(p, np.uint64)
+    return ((c64 << np.uint64(32)) // p64).astype(np.uint32)
+
+
+def shoup_mul_lazy(x, c, c_sh, p):
+    """x·c mod p in [0, 2p): Harvey's lazy product (x any uint32, c < p)."""
+    q = mul_hi(x, c_sh)
+    return mul_lo(x, c) - mul_lo(q, p)  # exact value in [0, 2p), no wrap
+
+
+def shoup_mul(x, c, c_sh, p):
+    """Canonical x·c mod p (one conditional subtraction after the lazy mul)."""
+    t = shoup_mul_lazy(x, c, c_sh, p)
+    return jnp.where(t >= p, t - p, t)
 
 
 def to_mont(x, p, p_neg_inv, r2):

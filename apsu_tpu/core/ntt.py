@@ -11,8 +11,12 @@ pointwise product in the transform domain is negacyclic convolution.
 
 Device layout: residues ``[..., L, N]`` in Montgomery form, limb axis L maps
 to the sublane axis, coefficient axis N to the 128-lane axis.  Each stage is
-a reshape + elementwise Montgomery butterfly; XLA fuses the 16-bit-limb
-arithmetic into a handful of VPU ops per butterfly.
+a reshape + elementwise butterfly; the twiddle product uses Harvey's lazy
+Shoup multiplication (precomputed ``floor(w·2^32/p)`` companions, values kept
+in [0, 4p) between stages, one canonicalization at the end) — ~2x fewer VPU
+ops than a Montgomery butterfly, bit-identical canonical outputs.  Data stays
+in Montgomery form throughout: Shoup multiplies by PLAIN twiddles, which
+preserves the form of the variable operand.
 """
 
 from __future__ import annotations
@@ -25,10 +29,9 @@ import numpy as np
 from apsu_tpu.core import nt
 from apsu_tpu.core.mod32 import (
     PrimeConst,
-    add_mod,
-    mont_mul,
     prime_consts,
-    sub_mod,
+    shoup_mul_lazy,
+    shoup_pair,
 )
 
 
@@ -51,6 +54,9 @@ class NttContext:
         w = np.zeros((self.L, n), dtype=np.uint32)
         winv = np.zeros((self.L, n), dtype=np.uint32)
         ninv = np.zeros((self.L,), dtype=np.uint32)
+        w_pl = np.zeros((self.L, n), dtype=np.uint32)
+        winv_pl = np.zeros((self.L, n), dtype=np.uint32)
+        ninv_pl = np.zeros((self.L,), dtype=np.uint32)
         for l, p in enumerate(self.primes):
             psi = nt.root_of_unity(2 * n, p)
             psi_inv = pow(psi, -1, p)
@@ -64,13 +70,24 @@ class NttContext:
                 icur = icur * psi_inv % p
             wl = psi_pows[brev]
             wlinv = ipsi_pows[brev]
-            # store in Montgomery form
+            # plain tables feed the Shoup/Harvey butterflies; Montgomery
+            # tables remain for the host mirrors and external consumers
+            w_pl[l] = wl.astype(np.uint32)
+            winv_pl[l] = wlinv.astype(np.uint32)
+            ninv_pl[l] = pow(n, -1, p)
             w[l] = (wl << np.uint64(32)) % np.uint64(p)
             winv[l] = (wlinv << np.uint64(32)) % np.uint64(p)
             ninv[l] = (pow(n, -1, p) << 32) % p
         self.w = w          # [L, N] mont
         self.winv = winv    # [L, N] mont
         self.ninv = ninv    # [L] mont
+        self.w_pl = w_pl            # [L, N] plain twiddles
+        self.winv_pl = winv_pl
+        self.ninv_pl = ninv_pl      # [L] plain N^{-1}
+        ps = np.array(self.primes, np.uint32)
+        self.w_sh = shoup_pair(w_pl, ps[:, None])      # [L, N] Shoup pairs
+        self.winv_sh = shoup_pair(winv_pl, ps[:, None])
+        self.ninv_sh = shoup_pair(ninv_pl, ps)
 
     # -- device transforms ---------------------------------------------------
 
@@ -117,8 +134,8 @@ class NttContext:
             from apsu_tpu.ops.ntt_pallas import stage_twiddles
 
             self._stage_tw = (
-                stage_twiddles(self.w, self.n, inverse=False),
-                stage_twiddles(self.winv, self.n, inverse=True),
+                stage_twiddles(self.w_pl, self.w_sh, self.n, inverse=False),
+                stage_twiddles(self.winv_pl, self.winv_sh, self.n, inverse=True),
             )
         return self._stage_tw
 
@@ -132,26 +149,33 @@ class NttContext:
             from apsu_tpu.ops.ntt_pallas import ntt_pallas
 
             tw_f, _ = self._stage_tables()
-            return ntt_pallas(
-                x, tw_f,
-                np.asarray(self.consts.p, np.uint32),
-                np.asarray(self.consts.p_neg_inv, np.uint32),
-            )
+            return ntt_pallas(x, tw_f, np.asarray(self.consts.p, np.uint32))
+        # Harvey lazy Cooley-Tukey: values stay in [0, 4p) between stages
+        # (p < 2^30 so 4p fits uint32); each butterfly is one Shoup product
+        # (1 mul_hi + 2 wraparound muls) instead of a full Montgomery REDC —
+        # ~2x fewer VPU ops.  Canonicalized once at the end, so results are
+        # bit-identical to the Montgomery formulation.
         n, L = self.n, self.L
-        w = jnp.asarray(self.w)
+        w = jnp.asarray(self.w_pl)
+        wsh = jnp.asarray(self.w_sh)
         lead = x.shape[:-2]
         for s in range(self.logn):
             m = 1 << s
             t = n >> (s + 1)
             xs = x.reshape(lead + (L, m, 2, t))
-            p = self._c(self.consts.p, 3)
-            pni = self._c(self.consts.p_neg_inv, 3)
+            p = self._c(self.consts.p, 2)          # [L, 1, 1]
+            two_p = p + p
             tw = w[:, m : 2 * m].reshape(L, m, 1)
-            u = xs[..., 0, :]
-            v = mont_mul(xs[..., 1, :], tw, p[..., 0, :], pni[..., 0, :])
-            x = jnp.stack([add_mod(u, v, p[..., 0, :]), sub_mod(u, v, p[..., 0, :])], axis=-2)
+            tws = wsh[:, m : 2 * m].reshape(L, m, 1)
+            u = xs[..., 0, :]                      # [0, 4p)
+            u = jnp.where(u >= two_p, u - two_p, u)   # [0, 2p)
+            v = shoup_mul_lazy(xs[..., 1, :], tw, tws, p)  # [0, 2p)
+            x = jnp.stack([u + v, (u + two_p) - v], axis=-2)  # [0, 4p)
             x = x.reshape(lead + (L, n))
-        return x
+        p = self._c(self.consts.p, 1)
+        two_p = p + p
+        x = jnp.where(x >= two_p, x - two_p, x)
+        return jnp.where(x >= p, x - p, x)
 
     def intt(self, x):
         """Inverse transform (exact reversal of ntt stages) + N^{-1} scale."""
@@ -166,33 +190,34 @@ class NttContext:
             return ntt_pallas(
                 x, tw_i,
                 np.asarray(self.consts.p, np.uint32),
-                np.asarray(self.consts.p_neg_inv, np.uint32),
                 inverse=True,
-                ninv_np=np.asarray(self.ninv, np.uint32),
+                ninv_np=np.stack([self.ninv_pl, self.ninv_sh], axis=1),
             )
+        # Harvey lazy Gentleman-Sande: values stay in [0, 2p) between stages
         n, L = self.n, self.L
-        winv = jnp.asarray(self.winv)
+        winv = jnp.asarray(self.winv_pl)
+        wsh = jnp.asarray(self.winv_sh)
         lead = x.shape[:-2]
         for s in reversed(range(self.logn)):
             m = 1 << s
             t = n >> (s + 1)
             xs = x.reshape(lead + (L, m, 2, t))
-            p = self._c(self.consts.p, 3)
-            pni = self._c(self.consts.p_neg_inv, 3)
+            p = self._c(self.consts.p, 2)          # [L, 1, 1]
+            two_p = p + p
             tw = winv[:, m : 2 * m].reshape(L, m, 1)
-            u = xs[..., 0, :]
+            tws = wsh[:, m : 2 * m].reshape(L, m, 1)
+            u = xs[..., 0, :]                      # [0, 2p)
             v = xs[..., 1, :]
-            x = jnp.stack(
-                [
-                    add_mod(u, v, p[..., 0, :]),
-                    mont_mul(sub_mod(u, v, p[..., 0, :]), tw, p[..., 0, :], pni[..., 0, :]),
-                ],
-                axis=-2,
-            )
+            a = u + v                              # [0, 4p)
+            a = jnp.where(a >= two_p, a - two_p, a)
+            b = shoup_mul_lazy((u + two_p) - v, tw, tws, p)  # [0, 2p)
+            x = jnp.stack([a, b], axis=-2)
             x = x.reshape(lead + (L, n))
         p = self._c(self.consts.p, 1)
-        pni = self._c(self.consts.p_neg_inv, 1)
-        return mont_mul(x, self._c(self.ninv, 1), p, pni)
+        x = shoup_mul_lazy(
+            x, self._c(self.ninv_pl, 1), self._c(self.ninv_sh, 1), p
+        )
+        return jnp.where(x >= p, x - p, x)
 
     # -- host (numpy / big-int) mirrors for tests and tiny offline work ------
 

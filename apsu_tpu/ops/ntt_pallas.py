@@ -2,16 +2,19 @@
 
 The XLA implementation (core/ntt.py) lowers each of the log2(N) butterfly
 stages to reshape + elementwise ops, so the tensor makes log2(N) round
-trips through HBM (measured 25 ms for [64, 7, 8192] on v5e — 1.2 GB/s
-effective).  This kernel keeps one batch element's full [L, N] residue
-plane resident in VMEM for the whole transform: per stage, the butterfly
-partner is a ``pltpu.roll`` by the stage stride along the lane axis and the
-twiddle is a per-position table precomputed on host, giving exactly the
-same Montgomery mul/add/sub sequence per element as the XLA stages
-(bit-identical results).
+trips through HBM.  This kernel keeps one batch element's full [L, N]
+residue plane resident in VMEM for the whole transform: per stage, the
+butterfly partner is a ``pltpu.roll`` by the stage stride along the lane
+axis and the twiddle is a per-position table precomputed on host.
 
-HBM traffic: 1 read + 1 write of the tensor instead of log2(N) round trips
-— the NTT is bandwidth-bound, so this is the speed-of-light shape for it.
+Butterflies use Harvey's lazy Shoup multiplication (same formulation as the
+staged XLA path in core/ntt.py): per-position PLAIN twiddle tables plus
+their precomputed ``floor(w·2^32/p)`` Shoup companions, values kept in
+[0, 4p) across forward stages ([0, 2p) inverse) and canonicalized once at
+the end — bit-identical canonical outputs, ~2x fewer VPU ops per butterfly
+than the Montgomery form.
+
+HBM traffic: 1 read + 1 write of the tensor instead of log2(N) round trips.
 
 Block layout (Mosaic requires the last two block dims to equal the array
 dims or be tile-divisible): grid over the flattened leading batch only;
@@ -19,7 +22,7 @@ every limb-indexed operand ships as one full-array block ([L, N] twiddle
 slices, [L, 1] per-limb constants that broadcast along lanes in-kernel).
 
 Used by core/ntt.py's NttContext when running on TPU; the stage tables add
-[L, log2 N, N] uint32 per (primes, N) context.
+2·[L, log2 N, N] uint32 per (primes, N) context (plain + Shoup).
 """
 
 from __future__ import annotations
@@ -32,71 +35,94 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from apsu_tpu.core.mod32 import add_mod, mont_mul, sub_mod
+from apsu_tpu.core.mod32 import shoup_mul_lazy
 
 
-def stage_twiddles(w: np.ndarray, n: int, inverse: bool) -> np.ndarray:
-    """Per-position stage twiddle tables [L, log2 N, N] from the bit-reversed
-    root table w [L, N] (Montgomery form).
+def stage_twiddles(
+    w_pl: np.ndarray, w_sh: np.ndarray, n: int, inverse: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position stage twiddle tables ([L, log2 N, N] plain,
+    [L, log2 N, N] Shoup companions) from the bit-reversed root tables
+    (plain residues + shoup_pair precomputes).
 
     Forward stage s uses W[m + block] at every position of pair-block
     ``block`` (m = 2^s, block = pos >> (log2 N - s)); the inverse runs the
     stages in reversed order with the inverse table.
     """
-    L = w.shape[0]
+    L = w_pl.shape[0]
     logn = n.bit_length() - 1
-    out = np.empty((L, logn, n), dtype=np.uint32)
+    out_pl = np.empty((L, logn, n), dtype=np.uint32)
+    out_sh = np.empty((L, logn, n), dtype=np.uint32)
     pos = np.arange(n)
     for s in range(logn):
         m = 1 << s
         block = pos >> (logn - s)  # n/(2t) blocks of size 2t, t = n>>(s+1)
-        out[:, s, :] = w[:, m + block]
-    return out
+        out_pl[:, s, :] = w_pl[:, m + block]
+        out_sh[:, s, :] = w_sh[:, m + block]
+    return out_pl, out_sh
 
 
-def _ntt_kernel(tw_ref, p_ref, pni_ref, x_ref, o_ref, *, logn, inverse,
-                ninv_ref=None):
+def _ntt_kernel(tw_ref, tws_ref, p_ref, x_ref, o_ref, *, logn, inverse,
+                ninv_ref=None, unroll=False):
     n = 1 << logn
     p = p_ref[...]      # [L, 1] broadcasts along lanes
-    pni = pni_ref[...]  # [L, 1]
+    two_p = p + p
     x = x_ref[0]        # [L, N]
     pos = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
 
-    # Stages run inside a fori_loop with a TRACED stage index: a fully
-    # unrolled Python loop kept every stage's temporaries live on the Mosaic
-    # stack and blew the 16 MB scoped-vmem limit at L=10 limbs (26.5 MB).
-    # t = 2^(logn-1-s) becomes a dynamic shift/roll amount; the twiddle row
-    # is a dynamic slice of the stage table.
-    def stage(i, x):
+    def stage(i, x, static=False):
         s = i if not inverse else logn - 1 - i
-        t = jnp.int32(1) << (logn - 1 - s)
-        tw = tw_ref[:, s, :]  # [L, N] dynamic stage slice
+        if static:
+            # python-int stage: static roll amounts and slice offsets lower
+            # to single relayout ops (a dynamic roll amount goes through a
+            # generic multi-op path)
+            t = 1 << (logn - 1 - s)
+            tw = tw_ref[:, s, :]
+            tws = tws_ref[:, s, :]
+        else:
+            t = jnp.int32(1) << (logn - 1 - s)
+            tw = tw_ref[:, s, :]    # [L, N] dynamic stage slice, plain
+            tws = tws_ref[:, s, :]  # [L, N] Shoup companions
         xb = pltpu.roll(x, n - t, axis=1)  # partner for a-positions: x[j + t]
         xa = pltpu.roll(x, t, axis=1)      # partner for b-positions: x[j - t]
         is_a = ((pos >> (logn - 1 - s)) & 1) == 0
         if not inverse:
-            # a: u + w·v ; b: u - w·v  (u = partner at a-pos offset)
-            v = mont_mul(jnp.where(is_a, xb, x), tw, p, pni)
-            return jnp.where(is_a, add_mod(x, v, p), sub_mod(xa, v, p))
-        # inverse stage: a: u + v ; b: (u - v)·w
+            # lazy CT: u' = red2p(u); a: u' + w·v ; b: u' + 2p − w·v
+            v = shoup_mul_lazy(jnp.where(is_a, xb, x), tw, tws, p)  # [0, 2p)
+            u = jnp.where(is_a, x, xa)
+            u = jnp.where(u >= two_p, u - two_p, u)
+            return jnp.where(is_a, u + v, (u + two_p) - v)  # [0, 4p)
+        # lazy GS: a: red2p(u + v) ; b: w·(u + 2p − v)
         u = jnp.where(is_a, x, xa)
         v = jnp.where(is_a, xb, x)
-        s_ = sub_mod(u, v, p)
-        return jnp.where(is_a, add_mod(u, v, p), mont_mul(s_, tw, p, pni))
+        a = u + v
+        a = jnp.where(a >= two_p, a - two_p, a)
+        b = shoup_mul_lazy((u + two_p) - v, tw, tws, p)
+        return jnp.where(is_a, a, b)  # [0, 2p)
 
-    x = jax.lax.fori_loop(0, logn, stage, x)
+    if unroll:
+        # fully unrolled static stages (small L: the per-stage temporaries
+        # fit the Mosaic stack — at L=10 an unrolled Montgomery variant blew
+        # the 16 MB scoped-vmem limit, hence the gate in ntt_pallas())
+        for i in range(logn):
+            x = stage(i, x, static=True)
+    else:
+        x = jax.lax.fori_loop(0, logn, stage, x)
     if inverse:
-        x = mont_mul(x, ninv_ref[...], p, pni)
-    o_ref[0] = x
+        x = shoup_mul_lazy(x, ninv_ref[..., 0, :], ninv_ref[..., 1, :], p)
+    else:
+        x = jnp.where(x >= two_p, x - two_p, x)
+    o_ref[0] = jnp.where(x >= p, x - p, x)
 
 
 def ntt_pallas(
-    x, tw_np: np.ndarray, p_np: np.ndarray, pni_np: np.ndarray,
+    x, tw_np: np.ndarray, p_np: np.ndarray,
     inverse: bool = False, ninv_np: np.ndarray | None = None,
     interpret: bool = False,
 ):
-    """x: [..., L, N] Montgomery residues; tw_np: [L, log2 N, N] stage
-    tables (stage_twiddles); returns the transform with the same shape."""
+    """x: [..., L, N] Montgomery residues; tw_np: ([L, log2 N, N] plain,
+    [L, log2 N, N] Shoup) stage tables (stage_twiddles); returns the
+    transform with the same shape.  ninv_np: [L, 2] plain/Shoup N^{-1}."""
     L, N = x.shape[-2], x.shape[-1]
     logn = N.bit_length() - 1
     lead = x.shape[:-2]
@@ -104,28 +130,33 @@ def ntt_pallas(
     xf = x.reshape(B, L, N)
 
     p = jnp.asarray(p_np.reshape(L, 1))
-    pni = jnp.asarray(pni_np.reshape(L, 1))
-    tw = jnp.asarray(tw_np)
+    tw = jnp.asarray(tw_np[0])
+    tws = jnp.asarray(tw_np[1])
     full2 = lambda b: (0, 0)
-    args = [tw, p, pni, xf]
+    args = [tw, tws, p, xf]
     in_specs = [
         pl.BlockSpec((L, logn, N), lambda b: (0, 0, 0)),
-        pl.BlockSpec((L, 1), full2),
+        pl.BlockSpec((L, logn, N), lambda b: (0, 0, 0)),
         pl.BlockSpec((L, 1), full2),
         pl.BlockSpec((1, L, N), lambda b: (b, 0, 0)),
     ]
+    # static-stage unrolling: cheap rolls, but per-stage temporaries live on
+    # the Mosaic stack — gate on the residue-plane size
+    unroll = L * N * 4 <= 8 * 8192 * 4
     if inverse:
-        ninv = jnp.asarray(ninv_np.reshape(L, 1))
+        ninv = jnp.asarray(ninv_np.reshape(L, 2, 1))
         args.append(ninv)
-        in_specs.append(pl.BlockSpec((L, 1), full2))
+        in_specs.append(pl.BlockSpec((L, 2, 1), lambda b: (0, 0, 0)))
 
-        def kernel(tw_r, p_r, pni_r, x_r, ninv_r, o_r):
+        def kernel(tw_r, tws_r, p_r, x_r, ninv_r, o_r):
             _ntt_kernel(
-                tw_r, p_r, pni_r, x_r, o_r, logn=logn, inverse=True,
-                ninv_ref=ninv_r,
+                tw_r, tws_r, p_r, x_r, o_r, logn=logn, inverse=True,
+                ninv_ref=ninv_r, unroll=unroll,
             )
     else:
-        kernel = functools.partial(_ntt_kernel, logn=logn, inverse=False)
+        kernel = functools.partial(
+            _ntt_kernel, logn=logn, inverse=False, unroll=unroll
+        )
 
     out = pl.pallas_call(
         kernel,

@@ -115,19 +115,26 @@ def plane_count(K: int, ps_low_degree: int) -> int:
     return -(-min_planes // DEG_CHUNK) * DEG_CHUNK
 
 
-def _ps_inner_kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, *, ph):
+def _ps_inner_kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, hi_ref, lo_ref,
+                     *, ph):
     """Segmented dot for the Paterson-Stockmeyer inner sums: each grid step
     handles SEG_CHUNK k-segments of one row at one plane offset i, so the
     power block pw[i] is fetched once per k-chunk rather than once per
     segment, and the step count stays low (a first (r, k, i) single-segment
     grid was measured SLOWER than the XLA loop at the 16M shape — nh+1×
-    power re-reads plus ~30k grid-step overheads).  Accumulation is a plain
-    Montgomery multiply-add into the resident out block — bit-identical to
-    the XLA fori_loop fallback by construction, and scratch-free so the
-    whole VMEM budget goes to wider k-chunks.
+    power re-reads plus ~30k grid-step overheads).
+
+    Accumulation is LAZY: per plane each segment's product joins a raw
+    64-bit (hi, lo) scratch pair, and a single Montgomery REDC folds the
+    pair into the canonical out block every DEG_CHUNK planes (Σ_{u<8} p²
+    < 2^59 for eval primes < 2^28, same bound as the non-PS kernel) —
+    ~11 cheap int32 ops per term instead of a ~45-op mont_mul.  The value
+    mod p equals the sequential Montgomery multiply-add of the XLA
+    fori_loop fallback (modular reduction commutes with exact sums), and
+    the fold yields canonical residues, so outputs stay bit-identical.
 
     Plane i of segment k multiplies x^i (pw plane i-1); the i == 0 step
-    only zeroes the accumulator (the constant column is added in the coeff
+    only zeroes the accumulators (the constant column is added in the coeff
     domain by the evaluator).
     """
     i = pl.program_id(2)
@@ -137,13 +144,32 @@ def _ps_inner_kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, *, ph):
     @pl.when(i == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
+        hi_ref[...] = jnp.zeros_like(hi_ref)
+        lo_ref[...] = jnp.zeros_like(lo_ref)
 
     @pl.when(i > 0)
     def _():
         pw = pw_ref[0, 0]                    # [2, L, N]
         for u in range(SEG_CHUNK):
-            term = mont_mul(pw, pt_ref[0, u, 0][None, :, :], p, pni)
-            out_ref[0, u] = add_mod(out_ref[0, u], term, p)
+            hi, lo = _mul_wide_narrow(pw, pt_ref[0, u, 0][None, :, :])
+            new_lo = lo_ref[u] + lo
+            hi_ref[u] = hi_ref[u] + hi + (new_lo < lo).astype(jnp.uint32)
+            lo_ref[u] = new_lo
+
+    # fold the lazy pair into the canonical accumulator every DEG_CHUNK
+    # planes (≤ 8 products per fold keeps s_hi < 2^27) and at the last plane
+    @pl.when((i % DEG_CHUNK == 0) & (i > 0) | (i == ph - 1))
+    def _():
+        s_hi = hi_ref[...]
+        s_lo = lo_ref[...]
+        m = s_lo * pni[None, None]
+        mhi, _ = _mul_wide_hi_generic(m, p[None, None])
+        t = s_hi + mhi + (s_lo != 0).astype(jnp.uint32)
+        t = _sub_if_ge(t, p)
+        t = _sub_if_ge(t, p)
+        out_ref[0] = add_mod(out_ref[0], t, p)
+        hi_ref[...] = jnp.zeros_like(hi_ref)
+        lo_ref[...] = jnp.zeros_like(lo_ref)
 
 
 def eval_ps_inner_pallas(
@@ -192,6 +218,10 @@ def eval_ps_inner_pallas(
             (1, SEG_CHUNK, 2, L, N), lambda r, k, i: (r, k, 0, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((R, nh_pad, 2, L, N), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((SEG_CHUNK, 2, L, N), jnp.uint32),
+            pltpu.VMEM((SEG_CHUNK, 2, L, N), jnp.uint32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

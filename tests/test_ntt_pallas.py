@@ -21,18 +21,17 @@ def test_pallas_ntt_matches_xla(n):
         x[:, j, :] = rng.integers(0, p, size=(3, n))
     xj = jnp.asarray(x)
 
-    tw_f = stage_twiddles(ctx.w, n, inverse=False)
-    tw_i = stage_twiddles(ctx.winv, n, inverse=True)
+    tw_f = stage_twiddles(ctx.w_pl, ctx.w_sh, n, inverse=False)
+    tw_i = stage_twiddles(ctx.winv_pl, ctx.winv_sh, n, inverse=True)
     p_np = np.asarray(ctx.consts.p, dtype=np.uint32)
-    pni_np = np.asarray(ctx.consts.p_neg_inv, dtype=np.uint32)
 
-    fwd_pallas = ntt_pallas(xj, tw_f, p_np, pni_np, interpret=True)
+    fwd_pallas = ntt_pallas(xj, tw_f, p_np, interpret=True)
     fwd_xla = ctx.ntt(xj)
     assert jnp.array_equal(fwd_pallas, fwd_xla), "forward NTT diverges"
 
     inv_pallas = ntt_pallas(
-        fwd_pallas, tw_i, p_np, pni_np, inverse=True,
-        ninv_np=np.asarray(ctx.ninv), interpret=True,
+        fwd_pallas, tw_i, p_np, inverse=True,
+        ninv_np=np.stack([ctx.ninv_pl, ctx.ninv_sh], axis=1), interpret=True,
     )
     inv_xla = ctx.intt(fwd_xla)
     assert jnp.array_equal(inv_pallas, inv_xla), "inverse NTT diverges"

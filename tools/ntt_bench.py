@@ -39,9 +39,8 @@ def main():
     xj = jnp.asarray(x)
     chk = jax.jit(lambda o: jnp.sum(o, dtype=jnp.uint32))
 
-    tw_f = stage_twiddles(ctx.w, n, inverse=False)
+    tw_f = stage_twiddles(ctx.w_pl, ctx.w_sh, n, inverse=False)
     p_np = np.asarray(ctx.consts.p, np.uint32)
-    pni_np = np.asarray(ctx.consts.p_neg_inv, np.uint32)
 
     # Chain R dependent transforms inside ONE jit: the axon tunnel costs
     # ~11-25 ms per dispatch+readback, so per-call timing measures latency,
@@ -62,7 +61,7 @@ def main():
     os.environ["APSU_PALLAS_NTT"] = "0"
     os.environ.pop("APSU_NTT4", None)
     fx = chain(ctx.ntt)
-    fp = chain(lambda v: ntt_pallas(v, tw_f, p_np, pni_np))
+    fp = chain(lambda v: ntt_pallas(v, tw_f, p_np))
     f4 = chain(lambda v: ntt4(v, tb4))
 
     def bench(f, name, iters=5):
