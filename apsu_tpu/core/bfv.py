@@ -39,7 +39,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from apsu_tpu.core import nt
-from apsu_tpu.core.mod32 import add_mod, mont_mul, neg_mod, sub_mod
+from apsu_tpu.core.mod32 import (
+    add_mod,
+    mont_mul,
+    neg_mod,
+    shoup_mul,
+    shoup_pair,
+    sub_mod,
+)
 from apsu_tpu.core.params import SealParams
 from apsu_tpu.core.rns import (
     BaseConv,
@@ -79,6 +86,14 @@ def _msum_tensor(base: RnsBase, fa, fb, m_terms: int):
 
 def _mont(x: int, p: int) -> int:
     return (x << 32) % p
+
+
+def _shoup_cols(consts, primes):
+    """Per-limb constant columns (c, c') as [k, 1] pairs for shoup_mul."""
+    c = np.array([v % p for v, p in zip(consts, primes)], dtype=np.uint32)
+    sh = shoup_pair(c, np.array(primes, dtype=np.uint32))
+    k = len(primes)
+    return c.reshape(k, 1), sh.reshape(k, 1)
 
 
 def uniform_from_seed(seed: bytes, base: RnsBase, shape_lead=()) -> np.ndarray:
@@ -181,21 +196,6 @@ class BfvContext:
         self.conv_q_to_bsk = mc["conv"]
         self.sk_conv = mc["sk_conv"]
 
-        # constants
-        self.delta_mont_q = np.array(
-            [_mont(self.delta % p, p) for p in self.q_primes], dtype=np.uint32
-        ).reshape(k, 1)
-        self.t_mont_q = np.array(
-            [_mont(self.t % p, p) for p in self.q_primes], dtype=np.uint32
-        ).reshape(k, 1)
-        self.t_mont_bsk = np.array(
-            [_mont(self.t % p, p) for p in self.bsk.primes], dtype=np.uint32
-        ).reshape(self.bsk.k, 1)
-        self.qinv_mont_bsk = np.array(
-            [_mont(pow(self.Q % p, -1, p), p) for p in self.bsk.primes],
-            dtype=np.uint32,
-        ).reshape(self.bsk.k, 1)
-
         # mod-switch dividers: drop limb j+1 -> level j
         self.div_drop: List[Optional[ExactDiv]] = [None] * (len(self.q_primes) + 1)
         for lvl in range(1, len(self.q_primes)):
@@ -241,16 +241,12 @@ class BfvContext:
                 "conv": BaseConv(base, bsk),
                 "lift": ExactLiftConv(base, bsk),
                 "sk_conv": ShenoyKumaresanConv(bsk, base, n),
-                "t_mont_q": np.array(
-                    [_mont(self.t % p, p) for p in base.primes], dtype=np.uint32
-                ).reshape(base.k, 1),
-                "t_mont_bsk": np.array(
-                    [_mont(self.t % p, p) for p in bsk.primes], dtype=np.uint32
-                ).reshape(bsk.k, 1),
-                "qinv_mont_bsk": np.array(
-                    [_mont(pow(base.prod % p, -1, p), p) for p in bsk.primes],
-                    dtype=np.uint32,
-                ).reshape(bsk.k, 1),
+                "t_sh_q": _shoup_cols([self.t] * base.k, base.primes),
+                "t_sh_bsk": _shoup_cols([self.t] * bsk.k, bsk.primes),
+                "qinv_sh_bsk": _shoup_cols(
+                    [pow(base.prod % p, -1, p) for p in bsk.primes],
+                    bsk.primes,
+                ),
             }
         return self._mul_ctx_cache[key]
 
@@ -450,51 +446,51 @@ class BfvContext:
         def impl(x):
             Ql = base.prod
             # y_j = [x_j · γ·t·(Q/q_j)^{-1}]_{q_j}
-            A = np.array(
+            A_sh = _shoup_cols(
                 [
-                    _mont(gamma * t % p * base.phat_inv[j] % p, p)
+                    gamma * t % p * base.phat_inv[j] % p
                     for j, p in enumerate(base.primes)
                 ],
-                dtype=np.uint32,
-            ).reshape(base.k, 1)
-            y = mont_mul(x, A, base.p_d, base.pni_d)  # plain, [..., L, N]
+                base.primes,
+            )
+            y = shoup_mul(x, *A_sh, base.p_d)  # plain, [..., L, N]
 
             # FastBConv of γ·t·x mod Q into {t, γ} (+ αQ overshoot, absorbed
             # by the γ-centering below)
             def conv_to(m):
                 mm = np.uint32(m)
-                mni = np.uint32((-pow(int(m), -1, 1 << 32)) % (1 << 32))
                 acc = jnp.zeros(x.shape[:-2] + (x.shape[-1],), jnp.uint32)
                 for j, p in enumerate(base.primes):
-                    cj = np.uint32(_mont(base.phat[j] % m, m))
-                    acc_j = mont_mul(y[..., j, :], cj, mm, mni)
+                    cj = np.uint32(base.phat[j] % m)
+                    cj_sh = np.uint32(shoup_pair(cj, mm))
+                    acc_j = shoup_mul(y[..., j, :], cj, cj_sh, mm)
                     acc = add_mod(acc, acc_j, mm)
-                return acc, mm, mni
+                return acc, mm
 
-            r_t, t_d, t_ni = conv_to(t)
-            r_g, g_d, g_ni = conv_to(gamma)
-            negQinv_t = np.uint32(_mont((-pow(Ql % t, -1, t)) % t, t))
-            negQinv_g = np.uint32(_mont((-pow(Ql % gamma, -1, gamma)) % gamma, gamma))
-            v_t = mont_mul(r_t, negQinv_t, t_d, t_ni)
-            v_g = mont_mul(r_g, negQinv_g, g_d, g_ni)
+            r_t, t_d = conv_to(t)
+            r_g, g_d = conv_to(gamma)
+
+            def smul(x, c, m):
+                return shoup_mul(
+                    x, np.uint32(c), np.uint32(shoup_pair(c, m)), np.uint32(m)
+                )
+
+            v_t = smul(r_t, (-pow(Ql % t, -1, t)) % t, t)
+            v_g = smul(r_g, (-pow(Ql % gamma, -1, gamma)) % gamma, gamma)
 
             # center v_γ and fold: m = (v_t − ρ)·γ^{-1} mod t
             half_g = np.uint32(gamma >> 1)
             neg = v_g > half_g
             rho_pos = v_g              # ρ when positive (< γ/2)
             rho_neg = g_d - v_g        # |ρ| when negative
-            # reduce |ρ| (< γ < 2^31) mod t via a Montgomery round trip
-            t_r2 = np.uint32((1 << 64) % t)
-            red = lambda v: mont_mul(
-                mont_mul(v, t_r2, t_d, t_ni), jnp.ones((), jnp.uint32), t_d, t_ni
-            )
+            # reduce |ρ| (< γ < 2^31) mod t: Shoup by the constant 1
+            red = lambda v: smul(v, 1, t)
             diff = jnp.where(
                 neg,
                 add_mod(v_t, red(rho_neg), t_d),
                 sub_mod(v_t, red(rho_pos), t_d),
             )
-            ginv_t = np.uint32(_mont(pow(gamma % t, -1, t), t))
-            return mont_mul(diff, ginv_t, t_d, t_ni)
+            return smul(diff, pow(gamma % t, -1, t), t)
 
         return self._jitted(key, impl)(x)
 
@@ -590,16 +586,6 @@ class BfvContext:
         f = self._jitted(("add", a.level), lambda x, y: add_mod(x, y, base.p_d))
         return replace(a, data=f(a.data, b.data))
 
-    def delta_mont_at(self, level: int) -> jnp.ndarray:
-        """mont(Δ_level mod q_i) for the level's base, Δ_level = ⌊Q_level/t⌋."""
-        if level == self.q.k:
-            return self.delta_mont_q
-        base = self.levels[level]
-        dl = base.prod // self.t
-        return np.array(
-            [_mont(dl % p, p) for p in base.primes], dtype=np.uint32
-        ).reshape(base.k, 1)
-
     def scale_plain(self, pt, level: int):
         """round(Q_l·m/t) mod q_j for plaintext m [..., N] — SEAL's
         add-plain-with-scaling variant, done RNS-style.
@@ -627,16 +613,17 @@ class BfvContext:
         h = t >> 1
         tc = self.t_base
         m1 = m[..., None, :]  # [..., 1, N] for mod-t broadcasting
-        rm = mont_mul(m1, np.uint32(_mont(r, t)), tc.p_d, tc.pni_d)
+        r_c, r_sh = _shoup_cols([r], [t])
+        rm = shoup_mul(m1, np.uint32(r_c[0, 0]), np.uint32(r_sh[0, 0]), tc.p_d)
         rem = add_mod(rm, np.uint32(h), tc.p_d)      # [..., 1, N] < t
         hq = np.array([h % p for p in base.primes], dtype=np.uint32).reshape(base.k, 1)
-        tinv = np.array(
-            [_mont(pow(t % p, -1, p), p) for p in base.primes], dtype=np.uint32
-        ).reshape(base.k, 1)
+        tinv_sh = _shoup_cols(
+            [pow(t % p, -1, p) for p in base.primes], base.primes
+        )
         diff = sub_mod(
             jnp.broadcast_to(hq, rem.shape[:-2] + (base.k, self.n)), rem, base.p_d
         )  # rem < t < q_j: valid residue mod q_j
-        return mont_mul(diff, tinv, base.p_d, base.pni_d)
+        return shoup_mul(diff, *tinv_sh, base.p_d)
 
     def add_plain(self, ct: Ciphertext, pt_poly) -> Ciphertext:
         """Add Δ·pt to c0 (pt_poly: [..., N] plaintext polynomial mod t)."""
@@ -685,8 +672,8 @@ class BfvContext:
         q, bsk = self.levels[lvl], mc["bsk"]
         conv_q_to_bsk = mc["conv"]
         lift_q_to_bsk = mc["lift"]
-        t_mont_q, t_mont_bsk = mc["t_mont_q"], mc["t_mont_bsk"]
-        qinv_mont_bsk = mc["qinv_mont_bsk"]
+        t_sh_q, t_sh_bsk = mc["t_sh_q"], mc["t_sh_bsk"]
+        qinv_sh_bsk = mc["qinv_sh_bsk"]
         sk_conv = mc["sk_conv"]
 
         def impl(xa, xb):
@@ -713,12 +700,10 @@ class BfvContext:
             x_b = tensor(bsk, a_bsk, b_bsk)              # [..., 3, Lb, N]
 
             # fast floor of t·x / Q_lvl, computed in Bsk
-            xt_q = mont_mul(x_q, t_mont_q, q.p_d, q.pni_d)
-            xt_b = mont_mul(x_b, t_mont_bsk, bsk.p_d, bsk.pni_d)
+            xt_q = shoup_mul(x_q, *t_sh_q, q.p_d)
+            xt_b = shoup_mul(x_b, *t_sh_bsk, bsk.p_d)
             conv = conv_q_to_bsk(xt_q)
-            y_b = mont_mul(
-                sub_mod(xt_b, conv, bsk.p_d), qinv_mont_bsk, bsk.p_d, bsk.pni_d
-            )
+            y_b = shoup_mul(sub_mod(xt_b, conv, bsk.p_d), *qinv_sh_bsk, bsk.p_d)
             return sk_conv(y_b)                          # [..., 3, Lq, N] plain
 
         y_q = self._jitted(("multiply", lvl), impl)(a.data, b.data)
@@ -751,8 +736,8 @@ class BfvContext:
         q, bsk = self.levels[lvl], mc["bsk"]
         conv_q_to_bsk = mc["conv"]
         lift_q_to_bsk = mc["lift"]
-        t_mont_q, t_mont_bsk = mc["t_mont_q"], mc["t_mont_bsk"]
-        qinv_mont_bsk = mc["qinv_mont_bsk"]
+        t_sh_q, t_sh_bsk = mc["t_sh_q"], mc["t_sh_bsk"]
+        qinv_sh_bsk = mc["qinv_sh_bsk"]
         sk_conv = mc["sk_conv"]
 
         def impl(xa, xb):
@@ -764,12 +749,10 @@ class BfvContext:
             x_b = _msum_tensor(bsk, fa_b, fb_b, M)
             # fast floor of t·x / Q_lvl, computed in Bsk (x = the summed
             # tensor; |x| < 2·M·N·Q² fits the widened base)
-            xt_q = mont_mul(x_q, t_mont_q, q.p_d, q.pni_d)
-            xt_b = mont_mul(x_b, t_mont_bsk, bsk.p_d, bsk.pni_d)
+            xt_q = shoup_mul(x_q, *t_sh_q, q.p_d)
+            xt_b = shoup_mul(x_b, *t_sh_bsk, bsk.p_d)
             conv = conv_q_to_bsk(xt_q)
-            y_b = mont_mul(
-                sub_mod(xt_b, conv, bsk.p_d), qinv_mont_bsk, bsk.p_d, bsk.pni_d
-            )
+            y_b = shoup_mul(sub_mod(xt_b, conv, bsk.p_d), *qinv_sh_bsk, bsk.p_d)
             return sk_conv(y_b)  # [..., 3, Lq, N] plain
 
         y_q = self._jitted(("multiply_sum", lvl, M), impl)(a.data, b.data)
@@ -815,13 +798,10 @@ class BfvContext:
         fa_b = bsk.ntt.ntt(bsk.to_mont(mc["lift"](xa_coeff)))
         x_q = _msum_tensor(q, fa_q, fb_q, m_terms)
         x_b = _msum_tensor(bsk, fa_b, fb_bsk, m_terms)
-        xt_q = mont_mul(x_q, mc["t_mont_q"], q.p_d, q.pni_d)
-        xt_b = mont_mul(x_b, mc["t_mont_bsk"], bsk.p_d, bsk.pni_d)
+        xt_q = shoup_mul(x_q, *mc["t_sh_q"], q.p_d)
+        xt_b = shoup_mul(x_b, *mc["t_sh_bsk"], bsk.p_d)
         conv = conv_q_to_bsk(xt_q)
-        y_b = mont_mul(
-            sub_mod(xt_b, conv, bsk.p_d), mc["qinv_mont_bsk"],
-            bsk.p_d, bsk.pni_d,
-        )
+        y_b = shoup_mul(sub_mod(xt_b, conv, bsk.p_d), *mc["qinv_sh_bsk"], bsk.p_d)
         return mc["sk_conv"](y_b)
 
     def relinearize(self, ct: Ciphertext, rk: RelinKey) -> Ciphertext:
@@ -849,7 +829,7 @@ class BfvContext:
             digits = jnp.stack(
                 [c2[..., i : i + 1, :] for i in range(q.k)]
             )  # [k, ..., 1, N] each an integer < q_i
-            d_mont = mont_mul(digits, qp.r2_d, qp.p_d, qp.pni_d)  # [k,...,Lqp,N]
+            d_mont = qp.to_mont(digits)  # Shoup by R mod p: [k, ..., Lqp, N]
             d_ntt = qp.ntt.ntt(d_mont)
             ksk_b = ksk.reshape(
                 (q.k,) + (1,) * (c2.ndim - 2) + ksk.shape[1:]

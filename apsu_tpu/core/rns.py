@@ -32,12 +32,29 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from apsu_tpu.core.mod32 import add_mod, mont_mul, sub_mod
+from apsu_tpu.core.mod32 import (
+    add_mod,
+    mont_mul,
+    shoup_mul,
+    shoup_pair,
+    sub_mod,
+)
 from apsu_tpu.core.ntt import NttContext
 
 
 def _mont(x: int, p: int) -> int:
     return (x << 32) % p
+
+
+def _shoup_cols(consts: list[int], primes: list[int]):
+    """Per-limb constant columns (c, c') as [k, 1] numpy pairs for
+    shoup_mul — the drop-in replacement for a mont-form constant column.
+    Constant multiplies by Shoup pairs cost ~half a mont_mul's VPU ops and
+    return the same canonical residues (see mod32.shoup_mul)."""
+    c = np.array([v % p for v, p in zip(consts, primes)], dtype=np.uint32)
+    sh = shoup_pair(c, np.array(primes, dtype=np.uint32))
+    k = len(primes)
+    return c.reshape(k, 1), sh.reshape(k, 1)
 
 
 class RnsBase:
@@ -68,6 +85,12 @@ class RnsBase:
             [_mont(inv, p) for inv, p in zip(self.phat_inv, self.primes)],
             dtype=np.uint32,
         ).reshape(self.k, 1)
+        R = 1 << 32
+        self.r1_sh = _shoup_cols([R % p for p in self.primes], self.primes)
+        self.rinv_sh = _shoup_cols(
+            [pow(R, -1, p) for p in self.primes], self.primes
+        )
+        self.phat_inv_sh = _shoup_cols(self.phat_inv, self.primes)
 
     @property
     def ntt(self) -> NttContext:
@@ -94,10 +117,13 @@ class RnsBase:
         return out % self.prod
 
     def to_mont(self, x):
-        return mont_mul(x, self.r2_d, self.p_d, self.pni_d)
+        """x·R mod p — Shoup by the constant R mod p (canonical result,
+        identical to mont_mul(x, R²) at ~half the VPU ops)."""
+        return shoup_mul(x, *self.r1_sh, self.p_d)
 
     def from_mont(self, x):
-        return mont_mul(x, jnp.ones((), jnp.uint32), self.p_d, self.pni_d)
+        """x·R^{-1} mod p — Shoup by the constant R^{-1} mod p."""
+        return shoup_mul(x, *self.rinv_sh, self.p_d)
 
 
 class BaseConv:
@@ -114,20 +140,23 @@ class BaseConv:
         m = np.zeros((src.k, dst.k), dtype=np.uint32)
         for i, ph in enumerate(src.phat):
             for j, d in enumerate(dst.primes):
-                m[i, j] = _mont(ph % d, d)
-        self.phat_mod_dst_mont_d = m  # [ks, kd] host numpy (traced as literal)
+                m[i, j] = ph % d
+        self.phat_mod_dst = m  # [ks, kd] host numpy (traced as literal)
+        self.phat_mod_dst_sh = shoup_pair(
+            m, np.array(dst.primes, np.uint32)[None, :]
+        )
 
     def __call__(self, x):
         """x: [..., ks, N] plain residues -> [..., kd, N] plain residues."""
         src, dst = self.src, self.dst
-        y = mont_mul(x, src.phat_inv_mont_d, src.p_d, src.pni_d)  # [..., ks, N]
+        y = shoup_mul(x, *src.phat_inv_sh, src.p_d)  # [..., ks, N]
         out = jnp.zeros(x.shape[:-2] + (dst.k, x.shape[-1]), dtype=jnp.uint32)
         for i in range(src.k):
-            term = mont_mul(
+            term = shoup_mul(
                 y[..., i : i + 1, :],
-                self.phat_mod_dst_mont_d[i].reshape(dst.k, 1),
+                self.phat_mod_dst[i].reshape(dst.k, 1),
+                self.phat_mod_dst_sh[i].reshape(dst.k, 1),
                 dst.p_d,
-                dst.pni_d,
             )
             out = add_mod(out, term, dst.p_d)
         return out
@@ -157,44 +186,43 @@ class ExactLiftConv:
         Q = src.prod
         # fold the m_tilde prescale into the phat_inv multiply:
         # c_i = [x · (m̃·p̂_i^{-1} mod p_i)]_{p_i}
-        self.mt_phat_inv_mont_src = np.array(
-            [
-                _mont(mt * inv % p, p)
-                for inv, p in zip(src.phat_inv, src.primes)
-            ],
-            dtype=np.uint32,
-        ).reshape(src.k, 1)
+        self.mt_phat_inv_sh = _shoup_cols(
+            [mt * inv % p for inv, p in zip(src.phat_inv, src.primes)],
+            src.primes,
+        )
         m = np.zeros((src.k, dst.k), dtype=np.uint32)
         for i, ph in enumerate(src.phat):
             for j, d in enumerate(dst.primes):
-                m[i, j] = _mont(ph % d, d)
-        self.phat_mod_dst_mont_d = m
+                m[i, j] = ph % d
+        self.phat_mod_dst = m
+        self.phat_mod_dst_sh = shoup_pair(
+            m, np.array(dst.primes, np.uint32)[None, :]
+        )
         self.phat_mod_mt = np.array(
             [ph % mt for ph in src.phat], dtype=np.uint32
         )  # [ks]
         self.q_inv_mt = np.uint32(pow(Q % mt, -1, mt))
-        self.mtinv_mont_dst = np.array(
-            [_mont(pow(mt, -1, d), d) for d in dst.primes], dtype=np.uint32
-        ).reshape(dst.k, 1)
-        self.q_mtinv_mont_dst = np.array(
-            [_mont(Q % d * pow(mt, -1, d) % d, d) for d in dst.primes],
-            dtype=np.uint32,
-        ).reshape(dst.k, 1)
+        self.mtinv_sh = _shoup_cols(
+            [pow(mt, -1, d) for d in dst.primes], dst.primes
+        )
+        self.q_mtinv_sh = _shoup_cols(
+            [Q % d * pow(mt, -1, d) % d for d in dst.primes], dst.primes
+        )
 
     def __call__(self, x):
         """x: [..., ks, N] plain residues mod src -> [..., kd, N] plain
         residues of x + u·Q, u ∈ {−1, 0}."""
         src, dst = self.src, self.dst
-        c = mont_mul(x, self.mt_phat_inv_mont_src, src.p_d, src.pni_d)
+        c = shoup_mul(x, *self.mt_phat_inv_sh, src.p_d)
         out = jnp.zeros(x.shape[:-2] + (dst.k, x.shape[-1]), dtype=jnp.uint32)
         c16 = jnp.zeros(x.shape[:-2] + (1, x.shape[-1]), dtype=jnp.uint32)
         mask16 = jnp.uint32(0xFFFF)
         for i in range(src.k):
-            term = mont_mul(
+            term = shoup_mul(
                 c[..., i : i + 1, :],
-                self.phat_mod_dst_mont_d[i].reshape(dst.k, 1),
+                self.phat_mod_dst[i].reshape(dst.k, 1),
+                self.phat_mod_dst_sh[i].reshape(dst.k, 1),
                 dst.p_d,
-                dst.pni_d,
             )
             out = add_mod(out, term, dst.p_d)
             c16 = c16 + (c[..., i : i + 1, :] & mask16) * jnp.uint32(
@@ -205,8 +233,8 @@ class ExactLiftConv:
         r = (jnp.uint32(1 << 16) - s) & mask16  # [−y·Q^{-1}]_{m̃} in [0, m̃)
         neg = r >= jnp.uint32(1 << 15)
         r_abs = jnp.where(neg, jnp.uint32(1 << 16) - r, r)  # [..., 1, N]
-        a1 = mont_mul(out, self.mtinv_mont_dst, dst.p_d, dst.pni_d)
-        corr = mont_mul(r_abs, self.q_mtinv_mont_dst, dst.p_d, dst.pni_d)
+        a1 = shoup_mul(out, *self.mtinv_sh, dst.p_d)
+        corr = shoup_mul(r_abs, *self.q_mtinv_sh, dst.p_d)
         return jnp.where(
             neg,
             sub_mod(a1, corr, dst.p_d),
@@ -235,16 +263,13 @@ class ShenoyKumaresanConv:
         self.conv_b_to_q = BaseConv(self.B, q)
         self.conv_b_to_sk = BaseConv(self.B, RnsBase([self.m_sk], n))
         msk = self.m_sk
-        self.prodB_inv_mod_sk_mont = np.array(
-            [_mont(pow(self.B.prod % msk, -1, msk), msk)], dtype=np.uint32
-        ).reshape(1, 1)
+        self.prodB_inv_sk_sh = _shoup_cols(
+            [pow(self.B.prod % msk, -1, msk)], [msk]
+        )
         self.msk_d = np.array([msk], dtype=np.uint32).reshape(1, 1)
-        self.msk_ni_d = np.array(
-            [(-pow(msk, -1, 1 << 32)) % (1 << 32)], dtype=np.uint32
-        ).reshape(1, 1)
-        self.prodB_mod_q_mont = np.array(
-            [_mont(self.B.prod % p, p) for p in q.primes], dtype=np.uint32
-        ).reshape(q.k, 1)
+        self.prodB_mod_q_sh = _shoup_cols(
+            [self.B.prod % p for p in q.primes], q.primes
+        )
         self.msk_half = (self.m_sk + 1) // 2
 
     def __call__(self, y):
@@ -254,15 +279,14 @@ class ShenoyKumaresanConv:
         yhat_q = self.conv_b_to_q(y_b)                      # [..., kq, N]
         yhat_sk = self.conv_b_to_sk(y_b)                    # [..., 1, N]
         diff = sub_mod(yhat_sk, y_sk, self.msk_d)
-        alpha = mont_mul(diff, self.prodB_inv_mod_sk_mont, self.msk_d, self.msk_ni_d)
+        alpha = shoup_mul(diff, *self.prodB_inv_sk_sh, self.msk_d)
         # alpha is centered: values >= msk/2 represent alpha - m_sk (negative)
         neg = alpha >= jnp.uint32(self.msk_half)
         alpha_abs = jnp.where(neg, self.msk_d - alpha, alpha)  # [..., 1, N]
-        # out = yhat_q -/+ alpha_abs * prodB mod q
-        # (mont_mul(plain, mont-const) yields a plain residue; alpha < m_sk
-        # may exceed q_j which is fine for mont_mul's input bounds)
+        # out = yhat_q -/+ alpha_abs * prodB mod q  (alpha < m_sk may exceed
+        # q_j, which is fine — shoup_mul admits any uint32 variable operand)
         q = self.q
-        term = mont_mul(alpha_abs, self.prodB_mod_q_mont, q.p_d, q.pni_d)  # plain
+        term = shoup_mul(alpha_abs, *self.prodB_mod_q_sh, q.p_d)  # plain
         out_minus = sub_mod(yhat_q, term, q.p_d)
         out_plus = add_mod(yhat_q, term, q.p_d)
         return jnp.where(neg, out_plus, out_minus)
@@ -283,15 +307,16 @@ class ExactDiv:
         self.q = q
         self.d = int(d)
         self.round_nearest = round_nearest
-        self.d_inv_mont = np.array(
-            [_mont(pow(self.d % p, -1, p), p) for p in q.primes], dtype=np.uint32
-        ).reshape(q.k, 1)
+        self.d_inv_sh = _shoup_cols(
+            [pow(self.d % p, -1, p) for p in q.primes], q.primes
+        )
         half = self.d >> 1
         self.half_mod_q = np.array(
             [half % p for p in q.primes], dtype=np.uint32
         ).reshape(q.k, 1)
         self.half = np.uint32(half)
         self.d_d = np.uint32(self.d)
+        self.one_sh = _shoup_cols([1] * q.k, q.primes)
 
     def __call__(self, x_q, x_d):
         """x_q: [..., kq, N] residues mod q; x_d: [..., 1, N] residue mod d."""
@@ -300,10 +325,8 @@ class ExactDiv:
             x_q = add_mod(x_q, self.half_mod_q, q.p_d)
             s = x_d + self.half  # < 2^31 + 2^30, no overflow
             x_d = jnp.where(s >= self.d_d, s - self.d_d, s)
-        # reduce x_d (integer < d < 2^31) modulo each q_j: one round trip
-        # through Montgomery form (mont then de-mont) performs the reduction
-        xd_mont = mont_mul(x_d, q.r2_d, q.p_d, q.pni_d)
-        xd_q = mont_mul(xd_mont, jnp.ones((), jnp.uint32), q.p_d, q.pni_d)
+        # reduce x_d (integer < d < 2^31) modulo each q_j: Shoup by the
+        # constant 1 reduces ANY uint32 mod p in one lazy product
+        xd_q = shoup_mul(x_d, *self.one_sh, q.p_d)
         num = sub_mod(x_q, xd_q, q.p_d)
-        # plain × mont-const -> plain result
-        return mont_mul(num, self.d_inv_mont, q.p_d, q.pni_d)
+        return shoup_mul(num, *self.d_inv_sh, q.p_d)
