@@ -272,10 +272,13 @@ class Receiver:
         mask = self.rng.integers(0, t, size=(B, C, N), dtype=np.uint64).astype(np.uint32)
         self.last_mask = mask
 
+        from apsu_tpu.db.measured_levels import powers_at_eval
+
+        at_eval = powers_at_eval(p)
         if self.plan.uses_ps:
             low_ntt, high_coeff = compute_ps_power_tensors(
                 self.bfv, cts, self.plan, rk, eval_level=self.db.eval_lvl,
-                batch_first=True,
+                batch_first=True, at_eval=at_eval,
             )
             res = eval_matching_polys_ps(
                 self.bfv,
@@ -293,7 +296,7 @@ class Receiver:
             return QueryResponse(results=res.data, eval_level=self.db.result_lvl)
 
         powers = compute_power_tensor(
-            self.bfv, cts, self.plan.low, rk, self.db.eval_lvl
+            self.bfv, cts, self.plan.low, rk, self.db.eval_lvl, at_eval=at_eval
         )  # [D, B, 2, Le, N]
         powers = jnp.moveaxis(powers, 0, 1)  # [B, D, 2, Le, N]
         if self.db.label_cache is not None:

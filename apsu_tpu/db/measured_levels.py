@@ -68,6 +68,24 @@ def lookup(params) -> Optional[Dict[str, int]]:
     return MEASURED.get(params_key(params))
 
 
+def powers_at_eval(params) -> bool:
+    """Whether the power wavefront runs directly at the evaluation level.
+
+    Default False: sources stay at the fresh-query level through the DAG
+    and mod-switch down after (the analytically safe order — the mod-switch
+    rounding floor then never passes through a ct×ct).  A measured
+    ``at_eval`` entry flips it: every DAG multiply/relinearization then
+    runs on eval-level limbs, saving (k_query - k_eval)/k_query of the
+    powers phase.  The trade is noise (the switch floor enters BEFORE the
+    DAG and is amplified by its depth), so the flag is only recorded when
+    tools/level_calibrate.py measured the dense probe exact with margin.
+    APSU_POWERS_AT_EVAL=1 forces it globally (calibration/experiments)."""
+    if os.environ.get("APSU_POWERS_AT_EVAL"):
+        return True
+    ov = lookup(params)
+    return bool(ov and ov.get("at_eval"))
+
+
 def query_level(params, n_limbs: int) -> int:
     """Fresh-query encryption level: how many chain limbs the sender
     encrypts its query powers (and generates its relin key) at.

@@ -46,14 +46,16 @@ def _pallas_interpret() -> bool:
 
 
 def _powers_at_eval() -> bool:
-    """Opt-in (APSU_POWERS_AT_EVAL=1): mod-switch the query sources down to
-    the evaluation level BEFORE running the power wavefront, so every DAG
-    multiply/relinearization runs on eval-level limbs instead of the full
-    chain — saving (k - lvl)/k of the powers phase.  Noise: the mod-switch
-    rounding floor enters before the DAG and is amplified by its depth
-    (~t·√N per ct×ct level), so this trades measured budget for speed —
-    gate on a chip-measured margin (tools/level_calibrate.py) before
-    turning it on for a config."""
+    """Global opt-in (APSU_POWERS_AT_EVAL=1): mod-switch the query sources
+    down to the evaluation level BEFORE running the power wavefront, so
+    every DAG multiply/relinearization runs on eval-level limbs instead of
+    the full chain — saving (k - lvl)/k of the powers phase.  Noise: the
+    mod-switch rounding floor enters before the DAG and is amplified by its
+    depth (~t·√N per ct×ct level), so this trades measured budget for
+    speed.  Production callers pass ``at_eval`` explicitly from the
+    per-config measured table (db/measured_levels.powers_at_eval), which is
+    only populated when tools/level_calibrate.py measured the dense probe
+    exact with margin; the env flag is the calibration/experiment override."""
     import os
 
     return bool(os.environ.get("APSU_POWERS_AT_EVAL"))
@@ -74,6 +76,7 @@ def compute_power_tensor(
     schedule: PowerSchedule,
     relin_key: Optional[RelinKey],
     eval_level: int,
+    at_eval: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Run the wavefront schedule, returning NTT powers [D, ..., 2, Le, N].
 
@@ -90,7 +93,8 @@ def compute_power_tensor(
     need_rk = bool(schedule.levels)
     rk_lvl = relin_key.level if relin_key is not None else None
 
-    at_eval = _powers_at_eval()
+    if at_eval is None:
+        at_eval = _powers_at_eval()
 
     def impl(*args):
         if need_rk:
@@ -171,6 +175,7 @@ def compute_ps_power_tensors(
     relin_key: Optional[RelinKey],
     eval_level: Optional[int] = None,
     batch_first: bool = False,
+    at_eval: Optional[bool] = None,
 ):
     """Power tensors for the Paterson–Stockmeyer path (both at FULL level).
 
@@ -193,7 +198,8 @@ def compute_ps_power_tensors(
     need_rk = bool(plan.low.levels) or bool(plan.high.levels)
     rk_lvl = relin_key.level if relin_key is not None else None
 
-    at_eval = _powers_at_eval()
+    if at_eval is None:
+        at_eval = _powers_at_eval()
 
     def impl(*args):
         if need_rk:

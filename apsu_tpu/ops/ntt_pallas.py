@@ -166,6 +166,12 @@ def ntt_pallas(
         out_shape=jax.ShapeDtypeStruct((B, L, N), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            # the unrolled-stage path keeps per-stage twiddle slices and roll
+            # temporaries on the Mosaic stack; with the Shoup companion table
+            # doubling the per-stage operands, L=7/N=8192 needs ~20.5 MB of
+            # scoped VMEM — above the 16 MB default but far under the chip's
+            # 128 MB VMEM (measured OOM on v5e at the 16M-4096 relin shape)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)

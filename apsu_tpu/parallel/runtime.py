@@ -154,37 +154,61 @@ class ShardedEvaluator:
                 have[tgt] = Ciphertext(data[i], is_ntt=False, level=k)
         return have
 
+    def _maybe_switch_sources(
+        self, source_cts: Dict[int, Ciphertext], eval_level: int, at_eval: bool
+    ) -> Dict[int, Ciphertext]:
+        """With ``at_eval`` (measured per-config knob — see
+        db/measured_levels.powers_at_eval) the sources mod-switch DOWN to the
+        evaluation level before the wavefront, exactly as the single-device
+        compute_*_power_tensors do, keeping the sharded path bit-identical."""
+        if not at_eval:
+            return dict(source_cts)
+        bfv = self.bfv
+        return {
+            s: Ciphertext(
+                bfv.mod_switch_to(ct, eval_level).data,
+                is_ntt=False,
+                level=eval_level,
+            )
+            for s, ct in source_cts.items()
+        }
+
     def compute_power_tensor(
         self,
         source_cts: Dict[int, Ciphertext],
         schedule: PowerSchedule,
         relin_key: Optional[RelinKey],
         eval_level: int,
+        at_eval: bool = False,
     ) -> jnp.ndarray:
         """Sharded analogue of engine.evaluator.compute_power_tensor."""
         bfv = self.bfv
-        src_lvl = next(iter(source_cts.values())).level
-        have = self._run_schedule(dict(source_cts), schedule, relin_key)
+        srcs = self._maybe_switch_sources(source_cts, eval_level, at_eval)
+        wf_lvl = next(iter(srcs.values())).level
+        have = self._run_schedule(srcs, schedule, relin_key)
         stack = jnp.stack([have[p].data for p in range(1, schedule.max_power + 1)])
         switched = bfv.mod_switch_to(
-            Ciphertext(stack, is_ntt=False, level=src_lvl), eval_level
+            Ciphertext(stack, is_ntt=False, level=wf_lvl), eval_level
         )
         return bfv.to_ntt(switched).data
 
-    def compute_ps_power_tensors(self, source_cts, plan, relin_key, eval_level):
+    def compute_ps_power_tensors(
+        self, source_cts, plan, relin_key, eval_level, at_eval: bool = False
+    ):
         """Sharded analogue of engine.evaluator.compute_ps_power_tensors."""
         bfv = self.bfv
         ph = plan.ps_low_degree + 1
-        low_src = {s: ct for s, ct in source_cts.items() if s <= plan.ps_low_degree}
-        high_src = {s // ph: ct for s, ct in source_cts.items() if s > plan.ps_low_degree}
-        src_lvl = next(iter(source_cts.values())).level
+        srcs = self._maybe_switch_sources(source_cts, eval_level, at_eval)
+        low_src = {s: ct for s, ct in srcs.items() if s <= plan.ps_low_degree}
+        high_src = {s // ph: ct for s, ct in srcs.items() if s > plan.ps_low_degree}
+        wf_lvl = next(iter(srcs.values())).level
         low = self._run_schedule(low_src, plan.low, relin_key)
         high = self._run_schedule(high_src, plan.high, relin_key)
         lvl = eval_level or bfv.q.k
         low_stack = jnp.stack([low[p].data for p in range(1, plan.low.max_power + 1)])
         high_stack = jnp.stack([high[p].data for p in range(1, plan.high.max_power + 1)])
-        low_sw = bfv.mod_switch_to(Ciphertext(low_stack, is_ntt=False, level=src_lvl), lvl)
-        high_sw = bfv.mod_switch_to(Ciphertext(high_stack, is_ntt=False, level=src_lvl), lvl)
+        low_sw = bfv.mod_switch_to(Ciphertext(low_stack, is_ntt=False, level=wf_lvl), lvl)
+        high_sw = bfv.mod_switch_to(Ciphertext(high_stack, is_ntt=False, level=wf_lvl), lvl)
         return bfv.to_ntt(low_sw).data, high_sw.data
 
     # ------------------------------------------------------------------
@@ -461,10 +485,12 @@ class ShardedReceiver(Receiver):
         )
         self.last_mask = mask
         ev = self.evaluator
+        from apsu_tpu.db.measured_levels import powers_at_eval
 
+        at_eval = powers_at_eval(p)
         if self.plan.uses_ps:
             low_ntt, high_coeff = ev.compute_ps_power_tensors(
-                cts, self.plan, rk, self.db.eval_lvl
+                cts, self.plan, rk, self.db.eval_lvl, at_eval=at_eval
             )
             res = ev.eval_query_ps(
                 jnp.moveaxis(low_ntt, 0, 1),

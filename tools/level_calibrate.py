@@ -98,6 +98,11 @@ def calibrate(stem: str) -> dict:
             ql -= 1
         if "accepted" not in out:  # nothing below the known point held
             out["accepted"] = dict(known)
+        # at_eval: run the power wavefront directly at the eval/ps level
+        # (the mod-switch floor enters BEFORE the DAG — measure it)
+        if "at_eval" not in out["accepted"] and ql > floor:
+            if try_one({**out["accepted"], "at_eval": 1}):
+                pass  # try_one recorded the accepted dict
         return out
     if uses_ps:
         ps0, r0 = db.ps_level(), db.result_level()
@@ -124,6 +129,10 @@ def calibrate(stem: str) -> dict:
     ql = k
     while ql - 1 >= floor and try_one({**best, "query": ql - 1}):
         ql -= 1
+    # at_eval refinement from whatever point was accepted (see above)
+    acc = out.get("accepted", dict(best))
+    if ql > floor and try_one({**acc, "at_eval": 1}):
+        pass
     return out
 
 
