@@ -88,17 +88,30 @@ def _phase_hot() -> dict:
     out = eval_matching_polys(bfv, powers, cache, const_s, mask_s, lvl)
     jax.device_get(chk(out.data))
     _log("hot: first call done")
-    best = None
+    times = []
     for _ in range(5):
         t0 = time.perf_counter()
         out = eval_matching_polys(bfv, powers, cache, const_s, mask_s, lvl)
         jax.device_get(chk(out.data))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        times.append(time.perf_counter() - t0)
         # interim line after EVERY iteration: a deadline kill still leaves
         # the parent a parseable measurement in the captured stdout
-        print(json.dumps({"hot_bundles_per_sec": B * C / best}), flush=True)
-    return {"hot_bundles_per_sec": B * C / best}
+        print(
+            json.dumps(
+                {
+                    "hot_bundles_per_sec": B * C / min(times),
+                    "hot_bundles_per_sec_mean": B * C
+                    / (sum(times) / len(times)),
+                    "agg": f"best-of-{len(times)}",
+                }
+            ),
+            flush=True,
+        )
+    return {
+        "hot_bundles_per_sec": B * C / min(times),
+        "hot_bundles_per_sec_mean": B * C / (sum(times) / len(times)),
+        "agg": f"best-of-{len(times)}",
+    }
 
 
 def _phase_ps() -> dict:
@@ -166,19 +179,29 @@ def _phase_ps() -> dict:
     jax.device_get(chk(resp.results))
     compile_s = time.perf_counter() - t0
     _log(f"ps: first call {compile_s:.1f}s")
+    # interim line BEFORE the first warm iteration: a kill between compile
+    # and first warm measurement still reports the compile time (ADVICE r2)
+    print(
+        json.dumps(
+            {"ps_first_call_s": compile_s, "bundles_per_query": B * C}
+        ),
+        flush=True,
+    )
     deadline = float(os.environ.get("APSU_BENCH_PHASE_LEFT_S", 1e9))
     iters = 3 if deadline - (time.perf_counter() - t0) > 60 else 1
-    best = None
+    times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         resp = recv.run_query(req)
         jax.device_get(chk(resp.results))
-        best = min(best or 1e9, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
         # interim line per iteration (rescued by the parent on a kill)
         print(
             json.dumps(
                 {
-                    "ps_warm_s": best,
+                    "ps_warm_s": min(times),
+                    "ps_warm_s_mean": sum(times) / len(times),
+                    "agg": f"best-of-{len(times)}",
                     "ps_first_call_s": compile_s,
                     "bundles_per_query": B * C,
                 }
@@ -186,7 +209,9 @@ def _phase_ps() -> dict:
             flush=True,
         )
     return {
-        "ps_warm_s": best,
+        "ps_warm_s": min(times),
+        "ps_warm_s_mean": sum(times) / len(times),
+        "agg": f"best-of-{len(times)}",
         "ps_first_call_s": compile_s,
         "bundles_per_query": B * C,
     }
@@ -223,9 +248,15 @@ def _run_phase_subprocess(name: str, deadline_s: float) -> dict | None:
             sys.stderr.write(e.stderr.decode(errors="replace"))
     for line in reversed(stdout.decode(errors="replace").strip().splitlines()):
         try:
-            return json.loads(line)
+            parsed = json.loads(line)
         except Exception:
             continue
+        # a stray numeric/string stdout line parses as JSON too — only a
+        # dict with a known measurement key is a real result (ADVICE r2)
+        if isinstance(parsed, dict) and (
+            "hot_bundles_per_sec" in parsed or "bundles_per_query" in parsed
+        ):
+            return parsed
     _log(f"phase {name}: no parseable measurement")
     return None
 
@@ -258,7 +289,7 @@ def main():
     if hot_bundles:
         _log(f"hot kernel: {hot_bundles:.1f} bundles/s")
 
-    if ps is not None:
+    if ps is not None and "ps_warm_s" in ps:
         bundles_per_sec = ps["bundles_per_query"] / ps["ps_warm_s"]
         out = {
             "metric": "production PS warm-query throughput (16M-4096)",
@@ -267,6 +298,10 @@ def main():
             "vs_baseline": round(bundles_per_sec / REF_BASELINE_FULL_QUERY_BPS, 2),
             "extra": {
                 "warm_query_s": round(ps["ps_warm_s"], 4),
+                "warm_query_s_mean": round(
+                    ps.get("ps_warm_s_mean", ps["ps_warm_s"]), 4
+                ),
+                "agg": ps.get("agg", "best"),
                 "first_call_s": round(ps["ps_first_call_s"], 1),
                 "bundles_per_query": ps["bundles_per_query"],
                 "hot_kernel_bundles_per_sec": (
