@@ -228,6 +228,8 @@ def serve_db_party(
     timings: Optional[Dict[str, float]] = None,
     db: Optional[ReceiverDB] = None,
     max_queries: Optional[int] = 1,
+    workers=None,
+    cache_parts: int = 1,
 ) -> List[np.ndarray]:
     """The large-set party: builds (or reuses) the DB, then serves queries
     until OP_BYE or ``max_queries``.  Returns one transferred-payload array
@@ -235,7 +237,15 @@ def serve_db_party(
 
     The OPRF backend follows the client's handshake: "kkrt" (interactive
     build, exactly one query per correlation) or "ecdh" (offline build,
-    unlimited queries against the resident cache)."""
+    unlimited queries against the resident cache).
+
+    ``workers``: intra-party Duplex links to DB worker processes
+    (parallel/multihost.db_worker) — the DB then builds and evaluates as a
+    bundle-range (× cache-range, ``cache_parts``) partition across them,
+    with this process as the protocol-facing coordinator.  Works with both
+    OPRF backends: the KKRT setup runs once here, its per-slot key columns
+    ship to the workers (the correlation is per-slot, receiver_db.cpp:157-
+    240, so partitioning is transparent to the query party)."""
     timings = timings if timings is not None else {}
     rng = rng if rng is not None else CsRng()
     t = TypedDuplex(ch)
@@ -245,6 +255,7 @@ def serve_db_party(
     t.send_op(OP_PARAMS, params.to_json().encode())
 
     t0 = time.perf_counter()
+    dist = None
     if db is None:
         if oprf_kind == "ecdh":
             oprf = EcdhOprfServer(rng)
@@ -252,10 +263,19 @@ def serve_db_party(
             oprf = KkrtSender(
                 t.scoped(OP_OPRF), params.table_params.table_size, rng
             )
-        db = ReceiverDB(params, oprf)
-        db.set_data(items)
+        if workers:
+            from apsu_tpu.parallel.multihost import DistributedReceiver
+
+            dist = DistributedReceiver(
+                params, workers, items, oprf=oprf, rng=rng,
+                cache_parts=cache_parts,
+            )
+        else:
+            db = ReceiverDB(params, oprf)
+            db.set_data(items)
     timings["db_build"] = time.perf_counter() - t0
-    recv = Receiver(params, db, rng=rng)
+    recv = dist if dist is not None else Receiver(params, db, rng=rng)
+    oprf_obj = dist.oprf if dist is not None else db.oprf
 
     transferred: List[np.ndarray] = []
     served = 0
@@ -268,10 +288,10 @@ def serve_db_party(
             break
         if op == OP_OPRF:
             # ECDH blind-evaluation round for the next query's cuckoo table
-            if not isinstance(db.oprf, EcdhOprfServer):
+            if not isinstance(oprf_obj, EcdhOprfServer):
                 t.send_error("OPRF round on a non-ECDH session")
                 raise ProtocolError("OPRF round on a non-ECDH session")
-            t.send_op(OP_OPRF, db.oprf.serve_round(np.asarray(obj)))
+            t.send_op(OP_OPRF, oprf_obj.serve_round(np.asarray(obj)))
             continue
         if op != OP_QUERY:
             t.send_error(f"unexpected op {op} (wanted OP_QUERY)")
@@ -317,6 +337,8 @@ def serve_db_party(
             transferred.append(cardsum_db_side(eg, blocks, rng, peqt=meta["peqt"]))
         timings["endgame"] = time.perf_counter() - t0
         served += 1
+    if dist is not None:
+        dist.close()
     return transferred
 
 

@@ -41,6 +41,17 @@ def main(argv=None):
         "the client disconnects); N != 1 requires the client to use "
         "--oprf ecdh (resident-server mode)",
     )
+    ap.add_argument(
+        "--workers", default=None, metavar="HOST:PORT,...",
+        help="comma-separated DB worker endpoints (worker_cli processes); "
+        "the DB then builds and evaluates as a bundle-range partition "
+        "across them with this process as coordinator",
+    )
+    ap.add_argument(
+        "--cache-parts", type=int, default=1,
+        help="split each bundle range's cache axis across this many of the "
+        "workers (worker count must be bundle_parts*cache_parts)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-level", default="info")
     ap.add_argument("--log-file", default=None)
@@ -68,6 +79,14 @@ def main(argv=None):
     log.info("DB: %d items; params N=%d table=%d", len(strings),
              params.poly_degree, params.table_params.table_size)
 
+    workers = None
+    if args.workers:
+        workers = []
+        for ep in args.workers.split(","):
+            host, _, port = ep.strip().rpartition(":")
+            workers.append(SocketDuplex.connect(host or "127.0.0.1", int(port)))
+        log.info("coordinating %d DB workers", len(workers))
+
     log.info("listening on %s:%d", args.bind, args.port)
     ch = SocketDuplex.listen_accept(args.port, args.bind)
     rng = _make_rng(args.seed)
@@ -76,6 +95,7 @@ def main(argv=None):
         per_query = serve_db_party(
             ch, params, items, rng, timings=timings,
             max_queries=args.serve if args.serve > 0 else None,
+            workers=workers, cache_parts=args.cache_parts,
         )
     new_payloads = [p for q in per_query for p in decode_payloads(q)]
     union = sorted(set(strings) | set(new_payloads))

@@ -141,6 +141,7 @@ class DebugOprf:
     """
 
     def __init__(self, key: int = 0x5EED):
+        self.key = int(key)  # retained so coordinators can re-ship it
         self.k1 = np.uint64(_mix64(np.uint64(key)))
         self.k2 = np.uint64(_mix64(np.uint64(key) ^ np.uint64(0xDEADBEEF)))
 

@@ -16,8 +16,14 @@ masks travel over them, never to the query party.
 
 OPRF backends: the fixed-key ECDH/debug backends share one key across
 workers (each evaluates its partition offline).  The slot-bound KKRT
-correlation is inherently a single two-party session and is not supported
-distributed.
+correlation — the production OPRF of the reference's DB build
+(receiver_db.cpp:157-240) — IS supported distributed: the correlation is
+per-slot (one NCO-OT instance per cuckoo slot), so the coordinator runs the
+single interactive KkrtSender setup with the query party and ships the
+per-slot key columns (q_cols, a few hundred KB for any parameter file — the
+table has table_size slots regardless of DB size) to every worker over the
+intra-party links, exactly like the ECDH key.  Each worker then evaluates
+F_slot(y) for its own partition's items offline.
 """
 
 from __future__ import annotations
@@ -55,10 +61,20 @@ def db_worker(ch: Duplex, params: PSUParams, mesh=None, rng=None) -> None:
     rng = rng if rng is not None else CsRng()
     b0, b1, c0, c1 = (int(x) for x in ch.recv())
     kind = bytes(ch.recv()).decode()
-    key_bytes = bytes(ch.recv())
-    if kind == "ecdh":
+    if kind == "kkrt":
+        # slot-range KKRT key material from the coordinator's single
+        # interactive setup: full per-slot key columns + the choice vector
+        from apsu_tpu.mpc.kkrt import KkrtSender
+
+        oprf = KkrtSender.__new__(KkrtSender)
+        oprf.q_cols = np.asarray(ch.recv(), dtype=np.uint8)
+        oprf.s_pack = np.asarray(ch.recv(), dtype=np.uint8)
+        oprf.n_slots = oprf.q_cols.shape[0]
+    elif kind == "ecdh":
+        key_bytes = bytes(ch.recv())
         oprf = EcdhOprfServer(rng, key=int.from_bytes(key_bytes, "little"))
     else:
+        key_bytes = bytes(ch.recv())
         oprf = DebugOprf(int.from_bytes(key_bytes, "little"))
     items = ch.recv()
 
@@ -115,11 +131,21 @@ class DistributedReceiver:
         oprf_key: Optional[int] = None,
         rng=None,
         cache_parts: int = 1,
+        oprf=None,
     ):
         """cache_parts > 1 splits each bundle range's cache axis across that
         many workers (len(worker_channels) must be bundle_parts·cache_parts;
         workers ordered bundle-major) — the 256M-4096 partitioning where the
-        cache axis (~32/bundle) dwarfs the bundle axis (3)."""
+        cache axis (~32/bundle) dwarfs the bundle axis (3).
+
+        ``oprf``: a pre-constructed backend object overriding oprf_kind —
+        pass the KkrtSender from the interactive setup with the query party
+        (its per-slot key columns are shipped to every worker), or an
+        EcdhOprfServer/DebugOprf to reuse an existing key."""
+        from apsu_tpu.core.bfv import BfvContext
+        from apsu_tpu.db.measured_levels import query_level
+        from apsu_tpu.mpc.kkrt import KkrtSender
+
         self.params = params
         self.chs = list(worker_channels)
         self.rng = rng if rng is not None else CsRng()
@@ -128,14 +154,36 @@ class DistributedReceiver:
         n_bparts = len(self.chs) // cache_parts
         self.cache_parts = cache_parts
         branges = partition_bundles(params.bundle_idx_count, n_bparts)
-        if oprf_key is None:
-            oprf_key = int.from_bytes(self.rng.bytes(16), "little")
-        self.oprf = (
-            EcdhOprfServer(self.rng, key=oprf_key)
-            if oprf_kind == "ecdh"
-            else DebugOprf(oprf_key)
-        )
-        key_bytes = int(oprf_key).to_bytes(32, "little")
+        key_bytes = b""
+        if oprf is not None:
+            self.oprf = oprf
+            if isinstance(oprf, KkrtSender):
+                oprf_kind = "kkrt"
+            elif isinstance(oprf, EcdhOprfServer):
+                oprf_kind = "ecdh"
+                key_bytes = int(oprf.k).to_bytes(32, "little")
+            else:
+                oprf_kind = "debug"
+                key_bytes = int(oprf.key).to_bytes(32, "little")
+        else:
+            if oprf_kind == "kkrt":
+                raise ValueError(
+                    "pass the set-up KkrtSender via oprf= (the interactive "
+                    "setup is a two-party step the coordinator runs once)"
+                )
+            if oprf_key is None:
+                oprf_key = int.from_bytes(self.rng.bytes(16), "little")
+            self.oprf = (
+                EcdhOprfServer(self.rng, key=oprf_key)
+                if oprf_kind == "ecdh"
+                else DebugOprf(oprf_key)
+            )
+            key_bytes = int(oprf_key).to_bytes(32, "little")
+        self.oprf_kind = oprf_kind
+        # local BFV context: the coordinator reconstructs seed-compressed
+        # query uploads and serves level metadata for the wire session
+        self.bfv = BfvContext(params.seal_params)
+        self.query_lvl = query_level(params, len(self.bfv.q_primes))
 
         # route items: every worker gets the items with >= 1 cuckoo location
         # in its bundle range (its set_data filters precisely)
@@ -166,7 +214,11 @@ class DistributedReceiver:
             take = ((bundles >= b0) & (bundles < b1)).any(axis=1)
             ch.send(np.array([b0, b1, c0, c1], dtype=np.int64))
             ch.send(oprf_kind.encode())
-            ch.send(key_bytes)
+            if oprf_kind == "kkrt":
+                ch.send(np.ascontiguousarray(self.oprf.q_cols))
+                ch.send(np.ascontiguousarray(self.oprf.s_pack))
+            else:
+                ch.send(key_bytes)
             ch.send(np.ascontiguousarray(items[take]))
         self.worker_C = [int(ch.recv()[0]) for ch in self.chs]
         # max caches of one assembled bundle row

