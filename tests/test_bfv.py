@@ -129,6 +129,7 @@ def test_power_chain_square_mul_relin():
     np.testing.assert_array_equal(got3, (v64 * v64 % ctx.t * v64 % ctx.t).astype(np.uint32))
 
 
+@pytest.mark.slow
 def test_multiply_sum_matches_multiply_then_add(ctx, keys):
     """Lazy BEHZ batch accumulation: Σ_m a[m]·b[m] decrypts to the slotwise
     Σ v1[m]·v2[m], and its noise is no worse than the multiply-then-add
@@ -218,6 +219,7 @@ def test_device_decrypt_matches_host(ctx, keys):
     )
 
 
+@pytest.mark.slow
 def test_leveled_encrypt_and_level_restricted_relin_key():
     """Fresh-query level machinery (measured_levels "query" knob): encrypt
     directly at a reduced level L < k, generate the relin key over Q_L·P,

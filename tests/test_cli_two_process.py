@@ -17,6 +17,7 @@ def _write_csv(path, strings):
             f.write(s + "\n")
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     rng = np.random.default_rng(0)
     db = [f"db-item-{i}" for i in range(300)]
@@ -74,6 +75,7 @@ def test_cli_end_to_end(tmp_path):
     assert union == set(db) | set(query)
 
 
+@pytest.mark.slow
 def test_cli_multihost_workers(tmp_path):
     """Four-process launch: 2 worker_cli partitions + receiver coordinator
     (--workers) + sender client, full MPC stack over TCP (VERDICT r2 #3b:

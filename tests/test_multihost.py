@@ -5,6 +5,7 @@ across real hosts (the socket test below runs the FULL MPC stack — KKRT
 OPRF + OSN PEQT + chosen OT — through the typed wire protocol against a
 2-worker partitioned DB over real TCP sockets)."""
 
+import pytest
 import socket
 import threading
 
@@ -63,6 +64,7 @@ def test_partition_bundles():
     assert partition_bundles(3, 3) == [(0, 1), (1, 2), (2, 3)]
 
 
+@pytest.mark.slow
 def test_distributed_receiver_grid_bundle_x_cache():
     """2×2 grid: bundle ranges × cache ranges (the 256M-4096 partitioning:
     the cache axis dwarfs the bundle axis)."""
@@ -112,6 +114,7 @@ def test_distributed_receiver_grid_bundle_x_cache():
         raise errs[0]
 
 
+@pytest.mark.slow
 def test_full_mpc_stack_partitioned_over_sockets():
     """The production path end to end (VERDICT r2 next #3): KKRT OPRF —
     set up once at the coordinator, per-slot key columns shipped to the

@@ -17,6 +17,7 @@ def _rand_residues(rng, primes, shape_lead, n):
     return x
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "bits,n",
     [
@@ -45,6 +46,7 @@ def test_ntt4_bit_identical_to_staged(bits, n):
     np.testing.assert_array_equal(np.asarray(intt4(jnp.asarray(f4), tb)), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_ntt4_plain_modulus_base():
     """The 17-bit plain-modulus base (encode/decode NTT) also matches."""
     t, n = 65537, 256

@@ -10,6 +10,7 @@ from apsu_tpu.core.ntt import NttContext
 from apsu_tpu.ops.ntt_pallas import ntt_pallas, stage_twiddles
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [256, 1024])
 def test_pallas_ntt_matches_xla(n):
     primes = gen_ntt_primes([28, 27], 2 * n)

@@ -18,6 +18,7 @@ from tools.param_sweep import PARAM_DIR, sweep_one  # noqa: E402
 CI_FILES = ["100K-1", "100K-1-16", "256K-1", "1M-1", "16M-1"]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("stem", CI_FILES)
 def test_param_file_exact_at_full_bin_load(stem):
     r = sweep_one(os.path.join(PARAM_DIR, f"{stem}.json"), n_caches=2)

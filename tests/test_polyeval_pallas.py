@@ -73,6 +73,7 @@ def test_pallas_kernel_full_range_residues():
     assert jnp.array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_full_psu_through_pallas_interpreter(monkeypatch):
     """End-to-end PSU with the evaluator forced onto the Pallas kernel
     (interpret mode): the production TPU dispatch path, bit-exact against
@@ -142,6 +143,7 @@ def test_ps_inner_kernel_full_range_residues():
     assert jnp.array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_ps_psu_through_pallas_interpreter(monkeypatch):
     """End-to-end PS-path PSU with the evaluator forced onto the Pallas
     kernels (segmented inner sums + lazy-BEHZ outer), interpret mode.

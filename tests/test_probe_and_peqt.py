@@ -1,6 +1,7 @@
 """Round-2 regression tests: PS coefficient-plane bound (dense full bins)
 and the DDH PEQT row shuffle."""
 
+import pytest
 import threading
 
 import numpy as np
@@ -38,6 +39,7 @@ def _ps_params_k15():
     )
 
 
+@pytest.mark.slow
 def test_ps_dense_full_bins_k_mod_ph_below_ell():
     params = _ps_params_k15()
     res = dense_query_probe(params, np.random.default_rng(0), n_caches=2)
@@ -59,6 +61,7 @@ def test_ps_cache_planes_cover_gather_range():
     assert db.coeff_cache.shape[2] >= nh * ph + params.query_params.ps_low_degree + 1
 
 
+@pytest.mark.slow
 def test_dense_probe_non_ps():
     params = PSUParams.from_dict(
         {

@@ -79,6 +79,7 @@ def test_psu_small_no_multiply():
     check_oracle(db, query, res)
 
 
+@pytest.mark.slow
 def test_psu_with_power_dag():
     """Sparse query powers force ct×ct multiplies + relinearization."""
     rng = np.random.default_rng(1)
@@ -112,6 +113,7 @@ def test_psu_full_overlap():
     assert len(res.transferred) == 0
 
 
+@pytest.mark.slow
 def test_psu_paterson_stockmeyer():
     """PS path: ps_low_degree=4, max bin 24 -> inner deg-4 sums × y^k outer
     products with one relinearization (16M-4096 structure, scaled down)."""

@@ -34,6 +34,7 @@ def ps_params_with_query_override():
         measured_levels.MEASURED[key] = saved
 
 
+@pytest.mark.slow
 def test_ps_union_exact_with_reduced_query_level(ps_params_with_query_override):
     params, key = ps_params_with_query_override
     from apsu_tpu.core.bfv import BfvContext

@@ -3,6 +3,7 @@
 offline and the preprocessed cache reusable across queries; the second and
 third query must skip the build entirely."""
 
+import pytest
 import threading
 
 import numpy as np
@@ -13,6 +14,7 @@ from apsu_tpu.mpc.prg import CsRng
 from tests.test_psu_e2e import as_set, make_sets, small_params
 
 
+@pytest.mark.slow
 def test_three_queries_one_server():
     rng = np.random.default_rng(21)
     params = small_params()

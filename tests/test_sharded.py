@@ -3,6 +3,7 @@ the sharded runtime must produce bit-identical result ciphertexts to the
 single-device evaluator — on BOTH query paths (plain dot product and
 Paterson-Stockmeyer), powers included."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +60,7 @@ def test_sharded_eval_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_receiver_full_query_with_power_dag():
     """ShardedReceiver.run_query (sharded power wavefront + sharded eval)
     bit-identical to Receiver.run_query, non-PS with ct×ct powers."""
@@ -91,6 +93,7 @@ def test_sharded_receiver_full_query_with_power_dag():
     )
 
 
+@pytest.mark.slow
 def test_sharded_receiver_ps_path():
     """The PS pipeline (inner sums, BEHZ outer products, relinearize,
     mod-switch, mask) sharded over 8 devices — bit-identical to the
