@@ -1,0 +1,60 @@
+"""Build + run the baseline referee and write BASELINE_MEASURED.json.
+
+The referee (tools/baseline_referee.cpp) measures the reference's SEAL
+hot-op inventory single-threaded on this host and scales by the documented
+32-thread server assumption; see the .cpp header.  bench.py uses the
+committed BASELINE_MEASURED.json as its vs_baseline denominator when
+present (provenance carried in the bench `extra`).
+
+Usage: python tools/measure_baseline.py  (writes repo-root JSON)
+"""
+
+import json
+import platform
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def cpu_model() -> str:
+    try:
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith("model name"):
+                return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return platform.processor() or "unknown"
+
+
+def main() -> None:
+    src = ROOT / "tools" / "baseline_referee.cpp"
+    exe = Path("/tmp/baseline_referee")
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-o", str(exe), str(src)], check=True
+    )
+    # best-of-3 (full-query seconds is the minimized quantity: the fastest
+    # run is the fairest stand-in for a quiet reference server)
+    runs = []
+    for _ in range(3):
+        out = subprocess.run([str(exe)], capture_output=True, check=True)
+        runs.append(json.loads(out.stdout))
+    best = min(runs, key=lambda r: r["query_s_32t"])
+    best["provenance"] = {
+        "referee": "tools/baseline_referee.cpp (g++ -O3 -march=native)",
+        "cpu": cpu_model(),
+        "date": time.strftime("%Y-%m-%d"),
+        "runs": len(runs),
+        "note": "single-thread measurement scaled by 32 threads with "
+        "PERFECT scaling (generous to the reference); scalar SEAL "
+        "semantics (no HEXL)",
+    }
+    (ROOT / "BASELINE_MEASURED.json").write_text(json.dumps(best, indent=1))
+    json.dump(best, sys.stdout, indent=1)
+    print()
+
+
+if __name__ == "__main__":
+    main()
