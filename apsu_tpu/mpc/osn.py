@@ -5,10 +5,14 @@ apsu_OSNReceiver.cpp, apsu_benes.cpp — Mohassel-Sadeghian style): the
 *programmer* knows a permutation π, the *holder* knows the value vector x;
 afterwards they hold XOR shares of π(x).  Every switch consumes one chosen
 1-of-2 OT whose messages are the holder's wire-mask corrections (straight /
-cross), batched into a single OT-extension run over all (2m-1)·n/2 switches.
+cross), batched into a single OT-extension run over all switches.
 
-Wire layout matches native/benes.cpp: level L pairs (a, a+2^dep) with
-dep = min(L, 2m-2-L), switch id (a >> (dep+1))·2^dep + (a & (2^dep - 1)).
+The network is ARBITRARY-SIZE (native/benes.cpp, AS-Waksman with 2/3-wire
+base cases, matching /root/reference/common/apsu/permute/apsu_benes.cpp:112
+onward): n is used exactly, not padded to a power of two — the 6552-column
+16M-4096 endgame stops paying the 8192-wide network's ~25% extra switches,
+OTs and corrections.  Both parties derive the identical switch→OT-index
+enumeration from the permutation-independent topology.
 
 Bandwidth: the straight-path correction of every switch is DERIVED from the
 OT pad y0 (the holder defines its next-level wire masks as
@@ -43,18 +47,49 @@ def _lib() -> ctypes.CDLL:
     so = os.path.join(_NATIVE, "libapsubenes.so")
     if not os.path.exists(so):
         subprocess.run(["make", "-C", _NATIVE, "-s"], check=True)
-    return ctypes.CDLL(so)
+    lib = ctypes.CDLL(so)
+    lib.benes_any_topology.restype = ctypes.c_int64
+    lib.benes_any_route.restype = ctypes.c_int64
+    return lib
+
+
+def _levels(n: int) -> int:
+    return 2 * max(1, (n - 1).bit_length()) - 1
+
+
+@lru_cache(maxsize=16)
+def benes_topology(
+    n: int,
+) -> Tuple[int, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]]:
+    """Permutation-independent network of n wires: returns
+    (n_switches, per-level [(a_idx, b_idx, ot_idx)]) where ot_idx is each
+    switch's rank in the canonical emission order (= its OT instance)."""
+    assert n >= 2
+    cap = _levels(n) * ((n + 1) // 2)
+    lev = np.zeros(cap, dtype=np.int64)
+    a = np.zeros(cap, dtype=np.int64)
+    b = np.zeros(cap, dtype=np.int64)
+    cnt = _lib().benes_any_topology(
+        ctypes.c_int64(n),
+        lev.ctypes.data_as(ctypes.c_void_p),
+        a.ctypes.data_as(ctypes.c_void_p),
+        b.ctypes.data_as(ctypes.c_void_p),
+    )
+    per_level = []
+    for L in range(_levels(n)):
+        sel = np.nonzero(lev[:cnt] == L)[0]
+        if len(sel):
+            per_level.append((a[sel].copy(), b[sel].copy(), sel))
+    return int(cnt), per_level
 
 
 def benes_route(perm: np.ndarray) -> np.ndarray:
-    """perm [n] (perm[out] = in, n = 2^m) -> settings [levels, n/2] uint8.
+    """perm [n] (perm[out] = in, any n >= 2) -> settings [n_switches] uint8
+    aligned to ``benes_topology(n)``'s OT enumeration.
 
     Routes are cached to APSU_BENES_CACHE_DIR when set (keyed by the
     permutation digest — the reference's benes disk cache)."""
     n = len(perm)
-    m = n.bit_length() - 1
-    assert 1 << m == n and n >= 2
-    levels = 2 * m - 1
     p = np.ascontiguousarray(perm, dtype=np.int64)
 
     cache_dir = os.environ.get("APSU_BENES_CACHE_DIR")
@@ -67,42 +102,20 @@ def benes_route(perm: np.ndarray) -> np.ndarray:
         if os.path.exists(cache_path):
             return np.load(cache_path)
 
-    out = np.zeros(levels * (n // 2), dtype=np.uint8)
-    _lib().benes_route(
+    cap = _levels(n) * ((n + 1) // 2)
+    out = np.zeros(cap, dtype=np.uint8)
+    cnt = _lib().benes_any_route(
         p.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int64(n),
         out.ctypes.data_as(ctypes.c_void_p),
     )
-    out = out.reshape(levels, n // 2)
+    if cnt < 0:
+        raise ValueError("benes_any_route: input is not a permutation")
+    out = out[:cnt].copy()
     if cache_path:
         os.makedirs(cache_dir, exist_ok=True)
         np.save(cache_path, out)
     return out
-
-
-def level_pairs(n: int) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Per level: (a_idx, b_idx, switch_idx) arrays of length n/2."""
-    m = n.bit_length() - 1
-    levels = 2 * m - 1
-    out = []
-    for L in range(levels):
-        dep = min(L, levels - 1 - L)
-        stride = 1 << dep
-        a = []
-        for blk in range(0, n, 2 * stride):
-            a.extend(range(blk, blk + stride))
-        a = np.array(a, dtype=np.int64)
-        b = a + stride
-        sidx = (a >> (dep + 1)) * stride + (a & (stride - 1))
-        out.append((a, b, sidx))
-    return out
-
-
-def _pad_pow2(n: int) -> int:
-    m = 1
-    while m < n:
-        m <<= 1
-    return max(m, 2)
 
 
 def _expand_pads(pads: np.ndarray) -> np.ndarray:
@@ -111,76 +124,60 @@ def _expand_pads(pads: np.ndarray) -> np.ndarray:
 
 
 def osn_holder(ch: Duplex, values: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Holder of x [n_real, 16] uint8; returns its share [n_real, 16] of π(x)
+    """Holder of x [n, 16] uint8; returns its share [n, 16] of π(x)
     (the programmer's π, unknown here)."""
-    n_real = values.shape[0]
-    n = _pad_pow2(n_real)
-    m = n.bit_length() - 1
-    levels = 2 * m - 1
-    half = n // 2
-
-    x = np.zeros((n, 16), dtype=np.uint8)
-    x[:n_real] = values
-    x[n_real:] = rng.integers(0, 256, size=(n - n_real, 16), dtype=np.uint8)
+    n = values.shape[0]
+    n_sw, per_level = benes_topology(n)
 
     # one OT-extension batch for all switches (we are the OT sender); the
     # straight-path pads y0 BECOME the wire-mask chain, so only the cross
     # corrections travel (32 B/switch instead of 64)
-    y0, y1 = ot_ext_send(ch, levels * half, rng)
+    y0, y1 = ot_ext_send(ch, n_sw, rng)
     p0 = _expand_pads(y0)
     p1 = _expand_pads(y1)
 
-    # wire masks per level boundary: masks[0] random; masks[L+1] derived
-    # from the straight pads so that m0 == expand(y0) needs no transmission
-    masks = np.empty((levels + 1, n, 16), dtype=np.uint8)
-    masks[0] = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
-    pairs = level_pairs(n)
-    e1 = np.empty((levels * half, 32), dtype=np.uint8)
-    for L, (a, b, sidx) in enumerate(pairs):
-        idx = L * half + sidx            # OT index of switch s at level L
-        r_in_a, r_in_b = masks[L][a], masks[L][b]
+    # wire-mask chain: cur starts random; switched wires advance via the
+    # straight pads (m0 == expand(y0) needs no transmission), pass-through
+    # wires of a level keep their mask
+    mask0 = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    cur = mask0.copy()
+    e1 = np.empty((n_sw, 32), dtype=np.uint8)
+    for a, b, idx in per_level:
+        r_in_a, r_in_b = cur[a], cur[b]
         r_out_a = r_in_a ^ p0[idx, :16]
         r_out_b = r_in_b ^ p0[idx, 16:]
-        masks[L + 1][a] = r_out_a
-        masks[L + 1][b] = r_out_b
         m1 = np.concatenate([r_in_b ^ r_out_a, r_in_a ^ r_out_b], axis=1)
         e1[idx] = m1 ^ p1[idx]
+        cur[a] = r_out_a
+        cur[b] = r_out_b
     ch.send(e1)
     # masked inputs
-    ch.send(x ^ masks[0])
-    return masks[levels][:n_real].copy()
+    ch.send(values ^ mask0)
+    return cur
 
 
 def osn_programmer(
     ch: Duplex, perm: np.ndarray, rng: np.random.Generator
 ) -> np.ndarray:
-    """Programmer of π (perm[out] = in over n_real elements); returns its
-    share [n_real, 16]: share_prog ⊕ share_holder = x[π]."""
-    n_real = len(perm)
-    n = _pad_pow2(n_real)
-    m = n.bit_length() - 1
-    levels = 2 * m - 1
-    half = n // 2
+    """Programmer of π (perm[out] = in over n elements); returns its
+    share [n, 16]: share_prog ⊕ share_holder = x[π]."""
+    n = len(perm)
+    n_sw, per_level = benes_topology(n)
+    settings = benes_route(perm)  # [n_sw]
 
-    full_perm = np.arange(n, dtype=np.int64)
-    full_perm[:n_real] = perm
-    settings = benes_route(full_perm)          # [levels, half]
-
-    choices = settings.reshape(-1)
-    y = ot_ext_recv(ch, choices, rng)          # [levels*half, 16]
-    e1 = ch.recv()                             # [levels*half, 32] cross only
+    y = ot_ext_recv(ch, settings, rng)  # [n_sw, 16]
+    e1 = ch.recv()                      # [n_sw, 32] cross corrections only
     pe = _expand_pads(y)
     # straight switches (c=0): correction IS expand(y0); cross: unmask e1
-    corr = np.where(choices.astype(bool)[:, None], e1 ^ pe, pe)
+    corr = np.where(settings.astype(bool)[:, None], e1 ^ pe, pe)
 
-    v = ch.recv().copy()                       # masked inputs [n, 16]
-    pairs = level_pairs(n)
-    for L, (a, b, sidx) in enumerate(pairs):
-        c = corr[L * half + sidx]              # per-switch correction (32B)
-        swap = settings[L][sidx].astype(bool)
+    v = ch.recv().copy()                # masked inputs [n, 16]
+    for a, b, idx in per_level:
+        c = corr[idx]                   # per-switch correction (32B)
+        swap = settings[idx].astype(bool)
         va, vb = v[a], v[b]
         new_a = np.where(swap[:, None], vb, va) ^ c[:, :16]
         new_b = np.where(swap[:, None], va, vb) ^ c[:, 16:]
         v[a] = new_a
         v[b] = new_b
-    return v[:n_real]
+    return v

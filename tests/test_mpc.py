@@ -146,11 +146,53 @@ def test_ddh_peqt():
     np.testing.assert_array_equal(matched, want)
 
 
+def test_benes_any_routing():
+    """Arbitrary-size router realizes every permutation (clear evaluation)."""
+    from apsu_tpu.mpc.osn import benes_route, benes_topology
+
+    rng = np.random.default_rng(0)
+    for n in list(range(2, 40)) + [64, 100, 409, 819, 6552]:
+        trials = 25 if n < 40 else 2
+        for _ in range(trials):
+            perm = rng.permutation(n).astype(np.int64)
+            cnt, per_level = benes_topology(n)
+            settings = benes_route(perm)
+            assert len(settings) == cnt
+            v = np.arange(n)
+            for a, b, idx in per_level:
+                sw = settings[idx].astype(bool)
+                va, vb = v[a].copy(), v[b].copy()
+                v[a] = np.where(sw, vb, va)
+                v[b] = np.where(sw, va, vb)
+            np.testing.assert_array_equal(v, perm)
+    # the 16M-4096 endgame width routes natively (no pow2 pad): fewer
+    # switches than the 8192-wide network round 1 used
+    n6552, _ = benes_topology(6552)
+    n8192, _ = benes_topology(8192)
+    assert n6552 < 0.8 * n8192
+
+
 def test_osn_share_translation():
     from apsu_tpu.mpc.osn import osn_holder, osn_programmer
 
     rng = np.random.default_rng(0)
-    n = 37  # non-power-of-two: exercises padding
+    n = 37  # non-power-of-two: exercises the arbitrary-size network
+    values = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
+    perm = rng.permutation(n).astype(np.int64)
+    share_p, share_h = run_pair(
+        lambda ch: osn_programmer(ch, perm, np.random.default_rng(1)),
+        lambda ch: osn_holder(ch, values, np.random.default_rng(2)),
+    )
+    np.testing.assert_array_equal(share_p ^ share_h, values[perm])
+
+
+@pytest.mark.slow
+def test_osn_share_translation_6552():
+    """Production endgame width (16M-4096: 6552 columns), native size."""
+    from apsu_tpu.mpc.osn import osn_holder, osn_programmer
+
+    rng = np.random.default_rng(0)
+    n = 6552
     values = rng.integers(0, 256, size=(n, 16), dtype=np.uint8)
     perm = rng.permutation(n).astype(np.int64)
     share_p, share_h = run_pair(
