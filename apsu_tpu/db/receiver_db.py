@@ -42,6 +42,52 @@ from apsu_tpu.hash.items import LocFuncs
 from apsu_tpu.mpc.oprf import OprfBackend
 
 
+def _place_labeled(
+    slots: np.ndarray, felts: np.ndarray, K: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collision-aware (cache, depth) assignment for labeled bins.
+
+    Round c selects, among still-unplaced items, those that are the first
+    remaining occurrence of their felt value in EVERY column of their slot
+    (so x-values are distinct per (slot, cache) interpolation lane), capped
+    at K per slot; selected items take cache c at within-slot rank depth.
+    The first remaining item of a slot is always selected, so the loop
+    terminates in ≤ max-bin-total rounds."""
+    m = len(slots)
+    cache_idx = np.zeros(m, dtype=np.int64)
+    depth = np.zeros(m, dtype=np.int64)
+    if m == 0:
+        return cache_idx, depth
+    fpi = felts.shape[1]
+    keys = slots.astype(np.int64)[:, None] << 32 | felts.astype(np.int64)
+    remaining = np.arange(m)
+    c = 0
+    while len(remaining):
+        ok = np.ones(len(remaining), dtype=bool)
+        for f in range(fpi):
+            key = keys[remaining, f]
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            first = np.empty(len(remaining), dtype=bool)
+            first[order] = np.concatenate([[True], ks[1:] != ks[:-1]])
+            ok &= first
+        sel = remaining[ok]
+        # within-slot rank (stable slot sort preserves input order)
+        so = np.argsort(slots[sel], kind="stable")
+        ss = slots[sel][so]
+        first_pos = np.searchsorted(ss, ss, side="left")
+        rank = np.arange(len(ss)) - first_pos
+        keep = rank < K
+        chosen = sel[so][keep]
+        cache_idx[chosen] = c
+        depth[chosen] = rank[keep]
+        mask = np.ones(len(remaining), dtype=bool)
+        mask[np.searchsorted(remaining, chosen)] = False
+        remaining = remaining[mask]
+        c += 1
+    return cache_idx, depth
+
+
 @dataclasses.dataclass
 class DbStats:
     n_items: int
@@ -193,26 +239,15 @@ class ReceiverDB:
             # labeled bins interpolate over felt x-values, which must be
             # DISTINCT within a (slot, cache) bin lane; a colliding item
             # spills to the next cache — the reference's labeled
-            # multi_insert dry-run behavior (bin_bundle.cpp:477)
-            cache_idx = np.zeros(len(slots), dtype=np.int64)
-            depth = np.zeros(len(slots), dtype=np.int64)
-            fill: dict = {}      # (slot, cache) -> count
-            felt_sets: dict = {}  # (slot, cache, f) -> set of felts
-            for i, s in enumerate(slots):
-                s = int(s)
-                c = 0
-                while True:
-                    if fill.get((s, c), 0) < K and all(
-                        felts[i, f] not in felt_sets.get((s, c, f), ())
-                        for f in range(fpi)
-                    ):
-                        break
-                    c += 1
-                cache_idx[i] = c
-                depth[i] = fill.get((s, c), 0)
-                fill[(s, c)] = depth[i] + 1
-                for f in range(fpi):
-                    felt_sets.setdefault((s, c, f), set()).add(int(felts[i, f]))
+            # multi_insert dry-run behavior (bin_bundle.cpp:477).
+            # Vectorized round-based placement (round c fills cache c): a
+            # remaining item is selected iff, per felt column, it is the
+            # FIRST remaining occurrence of its (slot, value) — slightly
+            # more conservative than sequential first-fit (a later item
+            # blocked only by an unselected earlier one also spills) but
+            # collision-free by construction, deterministic, and O(rounds ·
+            # m log m) instead of a per-item Python/dict walk
+            cache_idx, depth = _place_labeled(slots, felts, K)
             C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
 
         # cache-axis partition: keep only caches [c0, c1) (ranks are
@@ -654,15 +689,44 @@ class ReceiverDB:
 
     def _find_entry(self, slot: int, felt_row: np.ndarray):
         """(cache, depth) of felt_row in the slot's bin, or None."""
-        fpi = self.params.felts_per_item
-        b, lane0 = self._slot_geometry(slot)
-        view = self._roots[b, :, :, lane0 : lane0 + fpi]  # [C, K, fpi]
-        match = np.all(view == felt_row[None, None, :], axis=2)  # [C, K]
-        depth_ok = (
-            np.arange(view.shape[1])[None, :] < self._counts[b, :, lane0, None]
+        c, d = self._find_entries(
+            np.asarray([slot], dtype=np.int64), felt_row[None, :]
         )
-        hits = np.argwhere(match & depth_ok)
-        return (int(hits[0][0]), int(hits[0][1])) if len(hits) else None
+        return (int(c[0]), int(d[0])) if c[0] >= 0 else None
+
+    def _find_entries(self, slots: np.ndarray, felt_rows: np.ndarray):
+        """Batch bin lookup: per (slot, felt_row) pair the (cache, depth)
+        position of the row, or (-1, -1) — one gather over all m pairs
+        instead of a per-item Python scan."""
+        p = self.params
+        fpi = p.felts_per_item
+        m = len(slots)
+        if m == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy()
+        C, K = self._roots.shape[1], self._roots.shape[2]
+        b = slots // p.items_per_bundle - self.bundle_range[0]
+        lane0 = (slots % p.items_per_bundle) * fpi
+        lanes = lane0[:, None, None, None] + np.arange(fpi)
+        view = self._roots[
+            b[:, None, None, None],
+            np.arange(C)[None, :, None, None],
+            np.arange(K)[None, None, :, None],
+            lanes,
+        ]  # [m, C, K, fpi]
+        match = np.all(view == felt_rows[:, None, None, :], axis=3)
+        depth_ok = (
+            np.arange(K)[None, None, :]
+            < self._counts[b[:, None], np.arange(C)[None, :], lane0[:, None]][
+                :, :, None
+            ]
+        )
+        hit = (match & depth_ok).reshape(m, C * K)
+        pos = np.argmax(hit, axis=1)
+        found = hit[np.arange(m), pos]
+        c = np.where(found, pos // K, -1)
+        d = np.where(found, pos % K, -1)
+        return c, d
 
     def _slot_total(self, slot: int) -> int:
         b, lane0 = self._slot_geometry(slot)
@@ -688,38 +752,40 @@ class ReceiverDB:
         felts = felts_from_items(
             prf, self.params.felts_per_item, self.params.item_bit_count_per_felt
         )
-        found = np.array(
-            [
-                self._find_entry(int(s), felts[i]) is not None
-                for i, s in enumerate(slots)
-            ]
-        )
-        return found.reshape(-1, h).any(axis=1)
+        c, _ = self._find_entries(slots.astype(np.int64), felts)
+        return (c >= 0).reshape(-1, h).any(axis=1)
 
     def insert_or_assign(self, new_items: np.ndarray) -> DbStats:
         """Insert items into the existing DB (skipping already-present
-        (item, slot) pairs), then rebuild only the touched bundle indices."""
+        (item, slot) pairs), then rebuild only the touched bundle indices.
+
+        Fully vectorized (no per-item Python walk): one batch bin lookup
+        for presence, within-slot ranks for target positions, one scatter
+        — the reference's per-bundle insert workers (receiver_db.cpp:
+        330-510) collapse into numpy index arithmetic."""
         self._require_mutable()
         p = self.params
         K = p.table_params.max_items_per_bin
         fpi = p.felts_per_item
         B, C = self._roots.shape[0], self._roots.shape[1]
         slots, _, felts = self._locations_felts(new_items)
+        slots = slots.astype(np.int64)
 
-        touched = set()
-        grow_to = C
-        # first pass: required capacity (a slot overflowing every existing
-        # cache grows the cache axis — full rebuild in that case)
-        pending = []
-        for i, s in enumerate(slots):
-            s = int(s)
-            if self._find_entry(s, felts[i]) is not None:
-                continue
-            pending.append((s, i))
-        totals = {}
-        for s, _ in pending:
-            totals[s] = totals.get(s, self._slot_total(s)) + 1
-            grow_to = max(grow_to, -(-totals[s] // K))
+        c_found, _ = self._find_entries(slots, felts)
+        pend = np.flatnonzero(c_found < 0)
+        ps, pf = slots[pend], felts[pend]
+
+        # target position of each pending pair: current slot total + its
+        # within-slot rank (stable slot sort preserves input order)
+        so = np.argsort(ps, kind="stable")
+        ss = ps[so]
+        first_pos = np.searchsorted(ss, ss, side="left")
+        rank = np.arange(len(ss)) - first_pos
+        b = ss // p.items_per_bundle - self.bundle_range[0]
+        lane0 = (ss % p.items_per_bundle) * fpi
+        tot0 = self._counts[b, :, lane0].sum(axis=1).astype(np.int64)
+        target = tot0 + rank
+        grow_to = max(C, int(-(-(target.max() + 1) // K)) if len(target) else C)
         if grow_to > C:
             new_roots = np.zeros(
                 (B, grow_to, K, self._roots.shape[3]), dtype=self._roots.dtype
@@ -729,51 +795,90 @@ class ReceiverDB:
             new_counts[:, :C] = self._counts
             self._roots, self._counts = new_roots, new_counts
 
-        for s, i in pending:
-            b, lane0 = self._slot_geometry(s)
-            total = self._slot_total(s)
-            if total >= self._roots.shape[1] * K:
-                raise ValueError("bin overflow beyond cache capacity")
-            c, d = divmod(total, K)
-            self._roots[b, c, d, lane0 : lane0 + fpi] = felts[i]
-            self._set_slot_total(s, total + 1)
-            touched.add(b)
+        ci, di = target // K, target % K
+        lanes = lane0[:, None] + np.arange(fpi)
+        self._roots[b[:, None], ci[:, None], di[:, None], lanes] = pf[so]
+        # new per-slot totals -> dense per-cache counts for touched slots
+        if len(ss):
+            last = np.concatenate([first_pos[1:] != first_pos[:-1], [True]])
+            su, tot_new = ss[last], target[last] + 1
+            self._set_slot_totals(su, tot_new)
+        touched = set(np.unique(b).tolist())
 
         if grow_to > C:
             self._build_cache(self._roots, self._counts, self._eval_level_arg)
         else:
             self._rebuild_bundles(touched)
-        self._refresh_stats(len(pending))
+        self._refresh_stats(len(pend))
         return self.stats
 
+    def _set_slot_totals(self, slots: np.ndarray, totals: np.ndarray) -> None:
+        """Vectorized _set_slot_total over unique slots."""
+        p = self.params
+        K = p.table_params.max_items_per_bin
+        fpi = p.felts_per_item
+        C = self._counts.shape[1]
+        b = slots // p.items_per_bundle - self.bundle_range[0]
+        lane0 = (slots % p.items_per_bundle) * fpi
+        per_cache = np.clip(
+            totals[:, None] - np.arange(C)[None, :] * K, 0, K
+        ).astype(np.int32)
+        lanes = lane0[:, None, None] + np.arange(fpi)[None, None, :]
+        self._counts[
+            b[:, None, None], np.arange(C)[None, :, None], lanes
+        ] = per_cache[:, :, None]
+
     def remove(self, items: np.ndarray) -> DbStats:
-        """Remove items (at every cuckoo location), swap-filling from the
-        slot's last occupant, then rebuild the touched bundle indices."""
+        """Remove items (at every cuckoo location), compacting each touched
+        bin, then rebuild the touched bundle indices.
+
+        Vectorized: one batch bin lookup marks doomed positions; touched
+        bins are gathered as [T, C·K, fpi] rows, stably compacted with one
+        argsort (root order within a bin is immaterial — they are the
+        unordered roots of the matching polynomial), and scattered back."""
         self._require_mutable()
         p = self.params
         K = p.table_params.max_items_per_bin
         fpi = p.felts_per_item
         slots, _, felts = self._locations_felts(items)
-        touched = set()
-        removed = 0
-        for i, s in enumerate(slots):
-            s = int(s)
-            hit = self._find_entry(s, felts[i])
-            if hit is None:
-                continue
-            c, d = hit
-            b, lane0 = self._slot_geometry(s)
-            total = self._slot_total(s)
-            cl, dl = divmod(total - 1, K)
-            # move the slot's last entry into the vacated position
-            self._roots[b, c, d, lane0 : lane0 + fpi] = self._roots[
-                b, cl, dl, lane0 : lane0 + fpi
-            ]
-            self._roots[b, cl, dl, lane0 : lane0 + fpi] = 0
-            self._set_slot_total(s, total - 1)
-            touched.add(b)
-            removed += 1
-        self._rebuild_bundles(touched)
+        slots = slots.astype(np.int64)
+        c_f, d_f = self._find_entries(slots, felts)
+        hit = c_f >= 0
+        hs, hc, hd = slots[hit], c_f[hit], d_f[hit]
+        if not len(hs):
+            self._rebuild_bundles(set())
+            return self.stats
+        C = self._roots.shape[1]
+
+        # distinct doomed positions per touched slot (duplicate (slot,
+        # felts) pairs in one batch mark the same position once)
+        su, inv = np.unique(hs, return_inverse=True)
+        pos_key = inv * (C * K) + hc * K + hd
+        pos_key = np.unique(pos_key)
+        inv_u, flat_pos = pos_key // (C * K), pos_key % (C * K)
+        removed = len(pos_key)
+
+        T = len(su)
+        b = su // p.items_per_bundle - self.bundle_range[0]
+        lane0 = (su % p.items_per_bundle) * fpi
+        cidx = (np.arange(C * K) // K)[None, :]
+        didx = (np.arange(C * K) % K)[None, :]
+        lanes = lane0[:, None, None] + np.arange(fpi)[None, None, :]
+        flat = self._roots[
+            b[:, None, None], cidx[:, :, None], didx[:, :, None], lanes
+        ]  # [T, C*K, fpi]
+        tot0 = self._counts[b, :, lane0].sum(axis=1).astype(np.int64)
+        keep = np.arange(C * K)[None, :] < tot0[:, None]
+        keep[inv_u, flat_pos] = False
+        order = np.argsort(~keep, kind="stable", axis=1)
+        compacted = np.take_along_axis(flat, order[:, :, None], axis=1)
+        n_kept = keep.sum(axis=1)
+        compacted[np.arange(C * K)[None, :] >= n_kept[:, None]] = 0
+        self._roots[
+            b[:, None, None], cidx[:, :, None], didx[:, :, None], lanes
+        ] = compacted
+        self._set_slot_totals(su, n_kept)
+        self._rebuild_bundles(set(np.unique(b).tolist()))
         self._refresh_stats(-removed)
         return self.stats
 
