@@ -61,7 +61,12 @@ def _flavor(m: int):
     parties pick the same one.  SoftSpoken's GGM setup costs a flat ~4 KB
     (2κ level ciphertexts) and 2^k/k PRG expansions per virtual row, so
     small batches stay on classic IKNP and large ones trade compute for a
-    k-fold cut of the correction-matrix bandwidth."""
+    k-fold cut of the correction-matrix bandwidth.  Above ~2^19 the silent
+    extension (mpc/silent.py) wins outright: its bandwidth is the fixed
+    LPN setup + 1 derandomization bit/OT, vs SoftSpoken's 2 B/OT (measured
+    break-even table in tests/test_silent.py)."""
+    if m >= 1 << 19:
+        return ("silent", 0)
     if m < 1024:
         return ("iknp", 0)
     if m < 16384:
@@ -74,6 +79,10 @@ def ot_ext_send(ch: Duplex, m: int, rng: np.random.Generator):
     name, k = _flavor(m)
     if name == "iknp":
         return iknp_send(ch, m, rng)
+    if name == "silent":
+        from apsu_tpu.mpc.silent import silent_send
+
+        return silent_send(ch, m, rng)
     from apsu_tpu.mpc.softspoken import softspoken_send
 
     return softspoken_send(ch, m, rng, k=k)
@@ -84,6 +93,10 @@ def ot_ext_recv(ch: Duplex, choices: np.ndarray, rng: np.random.Generator):
     name, k = _flavor(len(choices))
     if name == "iknp":
         return iknp_recv(ch, choices, rng)
+    if name == "silent":
+        from apsu_tpu.mpc.silent import silent_recv
+
+        return silent_recv(ch, choices, rng)
     from apsu_tpu.mpc.softspoken import softspoken_recv
 
     return softspoken_recv(ch, choices, rng, k=k)

@@ -75,10 +75,15 @@ def _bit_sel(k: int) -> np.ndarray:
 
 
 def softspoken_recv(
-    ch: Duplex, choices: np.ndarray, rng: np.random.Generator, k: int = 8
+    ch: Duplex, choices: np.ndarray, rng: np.random.Generator, k: int = 8,
+    raw: bool = False,
 ):
     """Random-OT receiver (extension receiver R): returns pads y_{c_j}
-    [m, 16] uint8.  Counterpart of otext.iknp_recv."""
+    [m, 16] uint8.  Counterpart of otext.iknp_recv.
+
+    raw=True returns the PRE-HASH column blocks v [m, 16] instead — the
+    receiver side of the correlated-OT relation q_j = v_j ⊕ c_j·Δ that the
+    silent extension (mpc/silent.py) consumes as its base COTs."""
     assert KAPPA % k == 0
     r = np.asarray(choices, dtype=np.uint8)
     m = len(r)
@@ -118,12 +123,17 @@ def softspoken_recv(
     ch.send(u)
 
     vbits = np.unpackbits(v, axis=-1, bitorder="little", count=m)
-    return mmo_hash_indexed(_cols_to_blocks(vbits))
+    vb = _cols_to_blocks(vbits)
+    return vb if raw else mmo_hash_indexed(vb)
 
 
-def softspoken_send(ch: Duplex, m: int, rng: np.random.Generator, k: int = 8):
+def softspoken_send(ch: Duplex, m: int, rng: np.random.Generator, k: int = 8,
+                    raw: bool = False):
     """Random-OT sender (extension sender S): returns (y0, y1) [m, 16].
-    Counterpart of otext.iknp_send."""
+    Counterpart of otext.iknp_send.
+
+    raw=True returns (q [m, 16], Δ [16]) — the sender side of the COT
+    relation q_j = v_j ⊕ c_j·Δ, for mpc/silent.py's base COTs."""
     assert KAPPA % k == 0
     nc = KAPPA // k
     mbytes = (m + 7) // 8
@@ -180,6 +190,8 @@ def softspoken_send(ch: Duplex, m: int, rng: np.random.Generator, k: int = 8):
     # s-bit vector = concatenated little-endian x bits, packed per column
     sbits = xbits_le.reshape(-1).astype(np.uint8)
     sb = np.packbits(sbits, bitorder="little")
+    if raw:
+        return qb, sb
     y0 = mmo_hash_indexed(qb)
     y1 = mmo_hash_indexed(qb ^ sb[None, :])
     return y0, y1
