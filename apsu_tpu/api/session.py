@@ -254,6 +254,12 @@ def serve_db_party(
     oprf_kind = hello.get("oprf", "kkrt")
     t.send_op(OP_PARAMS, params.to_json().encode())
 
+    if db is not None and oprf_kind == "kkrt":
+        # a slot-bound KKRT correlation binds exactly one query session
+        # (mpc/oprf.py) — the resident (ECDH-built) cache cannot answer it;
+        # rebuild for this client, interactively bound to its correlation
+        db = None
+
     t0 = time.perf_counter()
     dist = None
     if db is None:
@@ -340,6 +346,55 @@ def serve_db_party(
     if dist is not None:
         dist.close()
     return transferred
+
+
+def serve_clients(
+    listener,
+    params: PSUParams,
+    items: np.ndarray,
+    rng=None,
+    max_clients: Optional[int] = 1,
+    queries_per_client: Optional[int] = None,
+    timings: Optional[Dict[str, float]] = None,
+) -> List[List[np.ndarray]]:
+    """Multi-client dispatcher: build the DB ONCE (ECDH backend — the HBM
+    cache stays resident), then accept successive client connections on
+    ``listener`` (mpc/duplex.py:SocketListener) and serve each with
+    ``serve_db_party``.  The reference's ZMQ router addresses multiple
+    clients by id (common/apsu/network/zmq/zmq_channel.h:70) but its
+    dispatcher quits after one query (receiver_dispatcher_osn.cpp:116);
+    this accept loop is the resident-server completion of that design.
+
+    ECDH clients share the resident cache (unlimited queries each); a KKRT
+    handshake triggers a per-session rebuild inside serve_db_party (its
+    correlation binds one query).  A protocol error or disconnect on one
+    connection is logged and does not kill the server.  Returns the
+    per-client lists of transferred payload arrays."""
+    from apsu_tpu.utils.log import get
+
+    log = get()
+    rng = rng if rng is not None else CsRng()
+    t0 = time.perf_counter()
+    db = ReceiverDB(params, EcdhOprfServer(rng))
+    db.set_data(items)
+    if timings is not None:
+        timings["db_build"] = time.perf_counter() - t0
+    out: List[List[np.ndarray]] = []
+    served = 0
+    while max_clients is None or served < max_clients:
+        ch = listener.accept()
+        try:
+            out.append(
+                serve_db_party(
+                    ch, params, items, rng, timings=timings, db=db,
+                    max_queries=queries_per_client,
+                )
+            )
+        except (ProtocolError, ConnectionError, EOFError) as e:
+            log.warning("client %d: session aborted: %s", served, e)
+            out.append([])
+        served += 1
+    return out
 
 
 def run_db_party(

@@ -42,6 +42,12 @@ def main(argv=None):
         "--oprf ecdh (resident-server mode)",
     )
     ap.add_argument(
+        "--clients", type=int, default=1, metavar="M",
+        help="accept M successive client connections against one resident "
+        "DB before exiting (0 = forever); M != 1 builds the DB with the "
+        "ECDH backend up front (KKRT clients trigger a per-session rebuild)",
+    )
+    ap.add_argument(
         "--workers", default=None, metavar="HOST:PORT,...",
         help="comma-separated DB worker endpoints (worker_cli processes); "
         "the DB then builds and evaluates as a bundle-range partition "
@@ -88,22 +94,40 @@ def main(argv=None):
         log.info("coordinating %d DB workers", len(workers))
 
     log.info("listening on %s:%d", args.bind, args.port)
-    ch = SocketDuplex.listen_accept(args.port, args.bind)
     rng = _make_rng(args.seed)
     timings = {}
-    with GLOBAL.span("serve_query"):
-        per_query = serve_db_party(
-            ch, params, items, rng, timings=timings,
-            max_queries=args.serve if args.serve > 0 else None,
-            workers=workers, cache_parts=args.cache_parts,
-        )
+    if args.clients != 1:
+        if workers:
+            ap.error("--clients is incompatible with --workers")
+        from apsu_tpu.api.session import serve_clients
+        from apsu_tpu.mpc.duplex import SocketListener
+
+        with SocketListener(args.port, args.bind) as lst, GLOBAL.span(
+            "serve_clients"
+        ):
+            per_client = serve_clients(
+                lst, params, items, rng, timings=timings,
+                max_clients=args.clients if args.clients > 0 else None,
+                queries_per_client=args.serve if args.serve > 0 else None,
+            )
+        per_query = [q for client in per_client for q in client]
+        ch = None
+    else:
+        ch = SocketDuplex.listen_accept(args.port, args.bind)
+        with GLOBAL.span("serve_query"):
+            per_query = serve_db_party(
+                ch, params, items, rng, timings=timings,
+                max_queries=args.serve if args.serve > 0 else None,
+                workers=workers, cache_parts=args.cache_parts,
+            )
     new_payloads = [p for q in per_query for p in decode_payloads(q)]
     union = sorted(set(strings) | set(new_payloads))
     write_union_csv(args.out, union)
     log.info("union: %d items -> %s (%d queries, received %d new)", len(union),
              args.out, len(per_query), len(new_payloads))
     log.info("timings: %s", {k: round(v, 3) for k, v in timings.items()})
-    log.info("bytes sent=%d received=%d", ch.bytes_sent, ch.bytes_received)
+    if ch is not None:
+        log.info("bytes sent=%d received=%d", ch.bytes_sent, ch.bytes_received)
     print(GLOBAL.report(), file=sys.stderr)
 
 

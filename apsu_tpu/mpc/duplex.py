@@ -122,10 +122,34 @@ class SocketDuplex(Duplex):
 
     @staticmethod
     def listen_accept(port: int, host: str = "0.0.0.0") -> "SocketDuplex":
+        with SocketListener(port, host) as lst:
+            return lst.accept()
+
+
+class SocketListener:
+    """Persistent accept loop for multi-client dispatch: the DB party binds
+    once and serves successive client connections against its resident
+    cache (the reference's ZMQ router addresses multiple clients by id,
+    common/apsu/network/zmq/zmq_channel.h:70; its dispatcher still quits
+    after one query — this accept loop is the resident-server equivalent)."""
+
+    def __init__(self, port: int, host: str = "0.0.0.0"):
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         srv.bind((host, port))
-        srv.listen(1)
-        conn, _ = srv.accept()
-        srv.close()
+        srv.listen(16)
+        self.sock = srv
+        self.port = srv.getsockname()[1]  # resolved when port=0
+
+    def accept(self) -> "SocketDuplex":
+        conn, _ = self.sock.accept()
         return SocketDuplex(conn)
+
+    def close(self) -> None:
+        self.sock.close()
+
+    def __enter__(self) -> "SocketListener":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

