@@ -129,6 +129,34 @@ class NttContext:
             self._ntt4_tb = Ntt4Tables(self.primes, self.n)
         return self._ntt4_tb
 
+    def _pair_mode(self) -> bool:
+        """Route transforms through the pair-form VMEM-resident Pallas
+        kernel (ops/ntt_pair.py) — bit-identical.  OPT-IN (APSU_PAIR_NTT=1,
+        N >= 2048, TPU only): it wins the isolated microbench at the 16M
+        shape (tools/ntt_bench.py on v5e, [64,7,8192] chained x32: pair
+        1.44-1.51 ms vs select-Pallas 1.59-1.62 ms vs staged XLA 1.42-1.57
+        ms) but LOSES inside the production programs, where NTT call sites
+        have small leading batches and the select kernel's sublane fill
+        keeps the VPU occupied (tools/profile_query.py A/B: warm query
+        378 ms with pair default vs 281 ms without)."""
+        import os
+
+        import jax
+
+        return os.environ.get("APSU_PAIR_NTT", "0") == "1" and (
+            jax.default_backend() != "cpu" and self.n >= 2048
+        )
+
+    def _pair_tables(self):
+        if not hasattr(self, "_pair_tw"):
+            from apsu_tpu.ops.ntt_pair import pair_tables
+
+            self._pair_tw = (
+                pair_tables(self.w_pl, self.w_sh, self.n, inverse=False),
+                pair_tables(self.winv_pl, self.winv_sh, self.n, inverse=True),
+            )
+        return self._pair_tw
+
     def _stage_tables(self):
         if not hasattr(self, "_stage_tw"):
             from apsu_tpu.ops.ntt_pallas import stage_twiddles
@@ -145,6 +173,11 @@ class NttContext:
             from apsu_tpu.ops.ntt4 import ntt4
 
             return ntt4(x, self._ntt4_tables())
+        if self._pair_mode():
+            from apsu_tpu.ops.ntt_pair import ntt_pair
+
+            tw_f, _ = self._pair_tables()
+            return ntt_pair(x, tw_f, np.asarray(self.consts.p, np.uint32))
         if self._pallas_mode():
             from apsu_tpu.ops.ntt_pallas import ntt_pallas
 
@@ -183,6 +216,16 @@ class NttContext:
             from apsu_tpu.ops.ntt4 import intt4
 
             return intt4(x, self._ntt4_tables())
+        if self._pair_mode():
+            from apsu_tpu.ops.ntt_pair import ntt_pair
+
+            _, tw_i = self._pair_tables()
+            return ntt_pair(
+                x, tw_i,
+                np.asarray(self.consts.p, np.uint32),
+                inverse=True,
+                ninv_np=np.stack([self.ninv_pl, self.ninv_sh], axis=1),
+            )
         if self._pallas_mode():
             from apsu_tpu.ops.ntt_pallas import ntt_pallas
 

@@ -54,15 +54,19 @@ def main():
         return jax.jit(run)
 
     from apsu_tpu.ops.ntt4 import Ntt4Tables, ntt4
+    from apsu_tpu.ops.ntt_pair import ntt_pair, pair_tables
 
     tb4 = Ntt4Tables(primes, n)
+    tw_pair = pair_tables(ctx.w_pl, ctx.w_sh, n, inverse=False)
     # the "xla" arm must be the true staged path (ctx.ntt would otherwise
     # route to the default-on Pallas kernel on TPU; gates read at trace time)
     os.environ["APSU_PALLAS_NTT"] = "0"
     os.environ.pop("APSU_NTT4", None)
+    os.environ.pop("APSU_PAIR_NTT", None)
     fx = chain(ctx.ntt)
     fp = chain(lambda v: ntt_pallas(v, tw_f, p_np))
     f4 = chain(lambda v: ntt4(v, tb4))
+    fpair = chain(lambda v: ntt_pair(v, tw_pair, p_np))
 
     def bench(f, name, iters=5):
         t0 = time.perf_counter()
@@ -84,8 +88,10 @@ def main():
     ox = bench(fx, "xla")
     op = bench(fp, "pallas")
     o4 = bench(f4, "ntt4")
+    opair = bench(fpair, "pair")
     assert jnp.array_equal(ox, op), "MISMATCH xla vs pallas"
     assert jnp.array_equal(ox, o4), "MISMATCH xla vs ntt4"
+    assert jnp.array_equal(ox, opair), "MISMATCH xla vs pair"
     print("bit-identical OK")
 
 
