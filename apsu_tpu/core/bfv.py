@@ -712,6 +712,48 @@ class BfvContext:
     def square(self, a: Ciphertext) -> Ciphertext:
         return self.multiply(a, a)
 
+    def operand_forms(self, data, level: int):
+        """Trace-level: the two NTT-Montgomery forms a BEHZ multiply needs
+        of one coeff-domain ciphertext — (f_q, f_bsk).  The power wavefront
+        transforms each DISTINCT operand once per DAG level and reuses the
+        forms across every product that consumes it (a power like x^1 feeds
+        many products; the naive per-product path re-transformed both
+        operands every time)."""
+        mc = self._mul_ctx(level)
+        q, bsk = self.levels[level], mc["bsk"]
+        return (
+            q.ntt.ntt(q.to_mont(data)),
+            bsk.ntt.ntt(bsk.to_mont(mc["lift"](data))),
+        )
+
+    def tensor_scaledown_fused(self, fa_q, fa_b, fb_q, fb_b, level: int):
+        """Trace-level BEHZ ct×ct from pre-transformed operands (see
+        ``operand_forms``): tensor in both bases, INTT, t/Q fast floor,
+        Shenoy–Kumaresan back-conversion.  Returns 3-component plain coeff
+        residues [..., 3, Lq, N], bit-identical to ``multiply`` (the same
+        elementwise sequence on the same transformed values)."""
+        mc = self._mul_ctx(level)
+        q, bsk = self.levels[level], mc["bsk"]
+
+        def tensor(base: RnsBase, fa, fb):
+            c0 = mont_mul(fa[..., 0, :, :], fb[..., 0, :, :], base.p_d, base.pni_d)
+            c2 = mont_mul(fa[..., 1, :, :], fb[..., 1, :, :], base.p_d, base.pni_d)
+            c1 = add_mod(
+                mont_mul(fa[..., 0, :, :], fb[..., 1, :, :], base.p_d, base.pni_d),
+                mont_mul(fa[..., 1, :, :], fb[..., 0, :, :], base.p_d, base.pni_d),
+                base.p_d,
+            )
+            f = jnp.stack([c0, c1, c2], axis=-3)
+            return base.from_mont(base.ntt.intt(f))
+
+        x_q = tensor(q, fa_q, fb_q)
+        x_b = tensor(bsk, fa_b, fb_b)
+        xt_q = shoup_mul(x_q, *mc["t_sh_q"], q.p_d)
+        xt_b = shoup_mul(x_b, *mc["t_sh_bsk"], bsk.p_d)
+        conv = mc["conv"](xt_q)
+        y_b = shoup_mul(sub_mod(xt_b, conv, bsk.p_d), *mc["qinv_sh_bsk"], bsk.p_d)
+        return mc["sk_conv"](y_b)
+
     def multiply_sum(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
         """Σ_m a[m]·b[m] over the batch axis at position -4 — lazy BEHZ:
         the M tensor products accumulate in the NTT domain of q ∪ Bsk, so

@@ -144,25 +144,68 @@ def _run_schedule(
     relin_key: Optional[RelinKey],
     mul_chunk: int = 8,
     level: Optional[int] = None,
+    forms: Optional[Dict[int, tuple]] = None,
 ) -> Dict[int, Ciphertext]:
     """Level-synchronous wavefront: each dag level executes as batched
     multiplies + relinearizations over its (target, a, b) products, chunked
     to ``mul_chunk`` targets so the BEHZ temporaries (which span q ∪ Bsk)
     stay bounded while the DB cache is HBM-resident.  ``level`` is the
-    modulus level the wavefront runs at (default: full chain)."""
+    modulus level the wavefront runs at (default: full chain).
+
+    Operand transforms are DEDUPLICATED: each distinct power is forward-
+    NTT'd into (q, Bsk) form once per wavefront (``operand_forms``) and the
+    forms are reused by every product that consumes it — the power x^1
+    alone feeds a large fraction of the DAG, and the per-product path paid
+    4 fresh operand transforms per product (2 ops × 2 bases), ~45% of the
+    multiply's NTT work.  Bit-identical to the per-product path (the same
+    transformed values feed the same tensor sequence).  ``forms`` shares
+    the cache across schedules run at the same level in one program (the
+    PS low/high pair reuse their common sources)."""
+    import os as _os
+
     k = level if level is not None else bfv.q.k
+    forms = forms if forms is not None else {}
+    dedup = _os.environ.get("APSU_DEDUP_FORMS", "1") != "0"
     for level_grp in schedule.levels:
         if relin_key is None:
             raise ValueError("power schedule requires relinearization keys")
+        if dedup:
+            # ONE stacked transform for all of the level's new sources:
+            # per-source operand_forms calls fragment the NTT into tiny
+            # grids (the fused kernels batch over the leading axes), which
+            # measured SLOWER end-to-end than the undeduplicated-but-
+            # batched path (tools/profile_query.py, 202.5 vs 159 ms)
+            new = sorted(
+                s
+                for s in {a for (_, a, _) in level_grp}
+                | {b for (_, _, b) in level_grp}
+                if s not in forms
+            )
+            if new:
+                fq, fb = bfv.operand_forms(
+                    jnp.stack([have[s].data for s in new]), k
+                )
+                for i, s in enumerate(new):
+                    forms[s] = (fq[i], fb[i])
         for c0 in range(0, len(level_grp), mul_chunk):
             group = level_grp[c0 : c0 + mul_chunk]
-            lhs = jnp.stack([have[a].data for (_, a, _) in group])
-            rhs = jnp.stack([have[b].data for (_, _, b) in group])
-            prod = bfv.multiply(
-                Ciphertext(lhs, is_ntt=False, level=k),
-                Ciphertext(rhs, is_ntt=False, level=k),
-            )
-            rel = bfv.relinearize(prod, relin_key)
+            if dedup:
+                fa_q = jnp.stack([forms[a][0] for (_, a, _) in group])
+                fa_b = jnp.stack([forms[a][1] for (_, a, _) in group])
+                fb_q = jnp.stack([forms[b][0] for (_, _, b) in group])
+                fb_b = jnp.stack([forms[b][1] for (_, _, b) in group])
+                prod3 = bfv.tensor_scaledown_fused(fa_q, fa_b, fb_q, fb_b, k)
+                rel = bfv.relinearize(
+                    Ciphertext(prod3, is_ntt=False, level=k), relin_key
+                )
+            else:
+                lhs = jnp.stack([have[a].data for (_, a, _) in group])
+                rhs = jnp.stack([have[b].data for (_, _, b) in group])
+                prod = bfv.multiply(
+                    Ciphertext(lhs, is_ntt=False, level=k),
+                    Ciphertext(rhs, is_ntt=False, level=k),
+                )
+                rel = bfv.relinearize(prod, relin_key)
             for i, (tgt, _, _) in enumerate(group):
                 have[tgt] = Ciphertext(rel.data[i], is_ntt=False, level=k)
     return have
@@ -516,7 +559,29 @@ def eval_matching_polys_ps(
 
         import os as _os
 
-        if _os.environ.get("APSU_PS_INNER") == "pallas" and _use_pallas(bfv, lvl):
+        _inner_kind = _os.environ.get("APSU_PS_INNER", "pallas2")
+        if _inner_kind == "pallas2" and _use_pallas(bfv, lvl):
+            # row-resident segmented kernel (ops/polyeval.py v2): the
+            # accumulator + lazy scratch live in VMEM across the whole
+            # plane sweep, the cache streams exactly once, each power
+            # plane loads once per row.  Bit-identical (same Montgomery
+            # fold points as v1); DEFAULT — the measured winner in
+            # tools/eval_substage_bench.py on v5e at the 16M shape
+            # (inner_p2 65.7 ms vs XLA fori 91.6 ms vs v1 95.5 ms).
+            from apsu_tpu.ops.polyeval import eval_ps_inner_pallas2
+
+            consts = np.stack(
+                [np.asarray(q.p_d).ravel(), np.asarray(q.pni_d).ravel()]
+            )
+            nseg = cache_r.shape[1] // ph
+            cache5p = cache_r[:, : nseg * ph].reshape(
+                (R, nseg, ph) + cache_r.shape[2:]
+            )
+            acc = eval_ps_inner_pallas2(
+                low_r, cache5p, consts[0], consts[1], 1,
+                interpret=_pallas_interpret(),
+            )[:, : nh + 1]
+        elif _inner_kind == "pallas" and _use_pallas(bfv, lvl):
             # segmented Pallas kernel (ops/polyeval.py) — bit-identical to
             # the fori_loop (same Montgomery multiply-add order) but OPT-IN:
             # at the 16M shape it measured ~2.4× slower than the XLA loop

@@ -129,6 +129,24 @@ def ntt_pallas(
     B = int(np.prod(lead)) if lead else 1
     xf = x.reshape(B, L, N)
 
+    # sublane fill: a [L, N] block with L < 8 leaves every (8, 128) vreg
+    # tile L/8 occupied — at the eval level (L=4) that is 2x wasted VPU
+    # work.  Fuse G batch elements into the sublane axis ([G·L, N] blocks)
+    # with G-tiled twiddle/constant tables; per-limb math is unchanged, so
+    # outputs are bit-identical.  Only when G divides B (a pad would copy
+    # the whole tensor).
+    G = max(1, 8 // L)
+    while G > 1 and B % G:
+        G -= 1
+    if G > 1:
+        B //= G
+        xf = xf.reshape(B, G * L, N)
+        p_np = np.tile(p_np.reshape(L), G)
+        tw_np = (np.tile(tw_np[0], (G, 1, 1)), np.tile(tw_np[1], (G, 1, 1)))
+        if ninv_np is not None:
+            ninv_np = np.tile(ninv_np.reshape(L, 2), (G, 1))
+        L = G * L
+
     p = jnp.asarray(p_np.reshape(L, 1))
     tw = jnp.asarray(tw_np[0])
     tws = jnp.asarray(tw_np[1])

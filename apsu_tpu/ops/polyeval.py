@@ -47,7 +47,14 @@ def _kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, *, chunk):
     """Lazy-reduction dot product: the chunk's products accumulate as raw
     64-bit (hi, lo) pairs — Σ_{u<8} p² < 2^59 fits — and a single Montgomery
     REDC folds the chunk into the running mod-p accumulator.  ~4.6 int32
-    multiplies per term instead of 9."""
+    multiplies per term instead of 9.
+
+    The cache axis is BLOCKED into the grid step (out/pt blocks carry a
+    cb-wide cache slice): one power chunk fetched from HBM serves every
+    cache row of the block instead of being re-read per row — at C=6 that
+    removes ~6/7 of the kernel's dominant HBM stream (the power tensor is
+    C× re-read; the cache streams once either way).  Per-element op order
+    is unchanged, so outputs stay bit-identical to the cb=1 kernel."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -56,14 +63,16 @@ def _kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, *, chunk):
 
     p = p_ref[...]      # [L, 1]
     pni = pni_ref[...]  # [L, 1]
-    acc = out_ref[...]  # [1, 1, 2, L, N]
+    acc = out_ref[...]  # [1, cb, 2, L, N]
     pw = pw_ref[...]    # [1, chunk, 2, L, N]
-    pt = pt_ref[...]    # [1, 1, chunk, L, N]
+    pt = pt_ref[...]    # [1, cb, chunk, L, N]
 
-    s_hi = jnp.zeros(acc.shape[2:], jnp.uint32)  # [2, L, N]
-    s_lo = jnp.zeros(acc.shape[2:], jnp.uint32)
+    s_hi = jnp.zeros(acc.shape[1:], jnp.uint32)  # [cb, 2, L, N]
+    s_lo = jnp.zeros(acc.shape[1:], jnp.uint32)
     for u in range(chunk):
-        hi, lo = _mul_wide_narrow(pw[0, u], pt[0, 0, u][None, :, :])
+        hi, lo = _mul_wide_narrow(
+            pw[0, u][None], pt[0, :, u][:, None, :, :]
+        )  # [cb, 2, L, N]
         new_lo = s_lo + lo
         s_hi = s_hi + hi + (new_lo < lo).astype(jnp.uint32)
         s_lo = new_lo
@@ -73,7 +82,7 @@ def _kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, *, chunk):
     t = s_hi + mhi + (s_lo != 0).astype(jnp.uint32)
     t = _sub_if_ge(t, p)
     t = _sub_if_ge(t, p)  # s_hi < 2^27 + mhi < p: t < p + 2^27 + p ⇒ ≤ 2 subs
-    out_ref[...] = add_mod(acc, t[None, None], p)
+    out_ref[...] = add_mod(acc, t[None], p)
 
 
 def _mul_wide_hi_generic(a, b):
@@ -224,10 +233,121 @@ def eval_ps_inner_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(p, pni, low_powers, cache5)
     return out[:, :nh1]
+
+
+def _pick_cache_block(C: int, L: int, N: int) -> int:
+    """Largest divisor of C whose grid-step blocks fit the VMEM budget.
+
+    Per cache row a step holds pt [DEG_CHUNK, L, N] + out [2, L, N] (the
+    Pallas pipeline double-buffers the streamed pt); the shared pw block is
+    [DEG_CHUNK, 2, L, N].  Budget ~48 MB leaves headroom under the chip's
+    128 MB VMEM for the pipeline's second buffers and temporaries."""
+    budget = 48 << 20
+    pw_bytes = DEG_CHUNK * 2 * L * N * 4
+    per_c = (2 * DEG_CHUNK + 2 * 2) * L * N * 4  # pt double-buffered + out
+    cap = max(1, (budget - pw_bytes) // per_c)
+    for cb in range(min(C, cap), 0, -1):
+        if C % cb == 0:
+            return cb
+    return 1
+
+
+def _ps_inner2_kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, hi_ref, lo_ref,
+                      *, ph, nseg):
+    """Row-resident segmented dot for the PS inner sums: grid (r, i) with
+    the ENTIRE segment axis of one row in VMEM — the accumulator and lazy
+    (hi, lo) scratch live across the whole i sweep and are written back
+    once per row, the cache streams through exactly once, and each power
+    plane is fetched once per row (the v1 kernel re-fetched it per
+    SEG_CHUNK k-block and ran 4x more, 4x smaller grid steps).
+
+    Same lazy 64-bit accumulation + fold-every-DEG_CHUNK as v1 (Σ_{u<8} p²
+    < 2^59 for eval primes < 2^28); bit-identical canonical outputs."""
+    i = pl.program_id(1)
+    p = p_ref[...]      # [L, 1]
+    pni = pni_ref[...]  # [L, 1]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        hi_ref[...] = jnp.zeros_like(hi_ref)
+        lo_ref[...] = jnp.zeros_like(lo_ref)
+
+    @pl.when(i > 0)
+    def _():
+        pw = pw_ref[0, 0]                        # [2, L, N]
+        hi, lo = _mul_wide_narrow(
+            pw[None], pt_ref[0, :, 0][:, None, :, :]
+        )                                        # [nseg, 2, L, N]
+        new_lo = lo_ref[...] + lo
+        hi_ref[...] = hi_ref[...] + hi + (new_lo < lo).astype(jnp.uint32)
+        lo_ref[...] = new_lo
+
+    @pl.when((i % DEG_CHUNK == 0) & (i > 0) | (i == ph - 1))
+    def _():
+        s_hi = hi_ref[...]
+        s_lo = lo_ref[...]
+        m = s_lo * pni[None, None]
+        mhi, _ = _mul_wide_hi_generic(m, p[None, None])
+        t = s_hi + mhi + (s_lo != 0).astype(jnp.uint32)
+        t = _sub_if_ge(t, p)
+        t = _sub_if_ge(t, p)
+        out_ref[0] = add_mod(out_ref[0], t, p)
+        hi_ref[...] = jnp.zeros_like(hi_ref)
+        lo_ref[...] = jnp.zeros_like(lo_ref)
+
+
+def eval_ps_inner_pallas2(
+    low_powers, cache5, p_np: np.ndarray, pni_np: np.ndarray,
+    caches_per_bundle: int, interpret: bool = False,
+):
+    """PS inner sums, v2 row-resident kernel (see _ps_inner2_kernel):
+    out[r, k] = Σ_{i=1..ph-1} low_powers[r//C, i-1] ⊙ cache5[r, k, i].
+
+    low_powers [B, ph-1, 2, L, N]; cache5 [R, nseg, ph, L, N] with
+    R = B·caches_per_bundle; returns [R, nseg, 2, L, N]."""
+    B, ell, _, L, N = low_powers.shape
+    R, nseg, ph = cache5.shape[:3]
+    assert ell == ph - 1 and R == B * caches_per_bundle
+    C = caches_per_bundle
+    p = jnp.asarray(p_np.reshape(L, 1))
+    pni = jnp.asarray(pni_np.reshape(L, 1))
+
+    kernel = functools.partial(_ps_inner2_kernel, ph=ph, nseg=nseg)
+    return pl.pallas_call(
+        kernel,
+        grid=(R, ph),
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda r, i: (0, 0)),
+            pl.BlockSpec((L, 1), lambda r, i: (0, 0)),
+            pl.BlockSpec(
+                (1, 1, 2, L, N),
+                lambda r, i: (r // C, jnp.maximum(i - 1, 0), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, nseg, 1, L, N),
+                lambda r, i: (r, 0, i, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nseg, 2, L, N), lambda r, i: (r, 0, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, nseg, 2, L, N), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((nseg, 2, L, N), jnp.uint32),
+            pltpu.VMEM((nseg, 2, L, N), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(p, pni, low_powers, cache5)
 
 
 def eval_dot_pallas(
@@ -244,9 +364,10 @@ def eval_dot_pallas(
     nj = Dp // DEG_CHUNK
     p = jnp.asarray(p_np.reshape(L, 1))
     pni = jnp.asarray(pni_np.reshape(L, 1))
+    cb = _pick_cache_block(C, L, N)
 
     kernel = functools.partial(_kernel, chunk=DEG_CHUNK)
-    grid = (B, C, nj)
+    grid = (B, C // cb, nj)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -258,16 +379,17 @@ def eval_dot_pallas(
                 lambda b, c, j: (b, j, 0, 0, 0),
             ),
             pl.BlockSpec(
-                (1, 1, DEG_CHUNK, L, N),
+                (1, cb, DEG_CHUNK, L, N),
                 lambda b, c, j: (b, c, j, 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 2, L, N), lambda b, c, j: (b, c, 0, 0, 0)
+            (1, cb, 2, L, N), lambda b, c, j: (b, c, 0, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((B, C, 2, L, N), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(p, pni, powers, cache)

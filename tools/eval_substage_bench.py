@@ -37,7 +37,7 @@ def main():
     import jax.numpy as jnp
 
     from apsu_tpu.core.bfv import Ciphertext, RelinKey, _msum_tensor
-    from apsu_tpu.core.mod32 import add_mod, mont_mul, sub_mod
+    from apsu_tpu.core.mod32 import add_mod, mont_mul, shoup_mul, sub_mod
     from apsu_tpu.core.params import PSUParams
     from apsu_tpu.db.receiver_db import ReceiverDB
     from apsu_tpu.mpc.prg import CsRng
@@ -145,6 +145,57 @@ def main():
 
     timeit("inner", inner_fn, cache_r, low_r)
 
+    # 1b. inner-sum variants: wider i-chunks (fewer accumulator HBM round
+    # trips) and the row-resident Pallas v2 kernel — the measured winner
+    # becomes the evaluator default (APSU_PS_INNER)
+    def inner_ch(CH):
+        def fn(cache_r, low_r):
+            cache5 = cache_r[:, : (nh + 1) * ph].reshape(
+                (R, nh + 1, ph) + cache_r.shape[2:]
+            )
+            part = None
+            for u in range(CH):
+                term = mont_mul(
+                    low_r[:, u, None], cache5[:, :, u + 1, None], q.p_d, q.pni_d
+                )
+                part = term if part is None else add_mod(part, term, q.p_d)
+            acc = part
+
+            def tail(i, acc):
+                pw = jax.lax.dynamic_index_in_dim(low_r, i - 1, axis=1, keepdims=False)
+                pt = jax.lax.dynamic_index_in_dim(cache5, i, axis=2, keepdims=False)
+                term = mont_mul(pw[:, None], pt[:, :, None], q.p_d, q.pni_d)
+                return add_mod(acc, term, q.p_d)
+
+            return jax.lax.fori_loop(CH + 1, ell + 1, tail, acc)
+
+        return fn
+
+    # the fully-unrolled variant OOMs HBM at the 16M shape (every partial
+    # term held live); keep a bounded chunk for comparison
+    timeit("inner8", inner_ch(8), cache_r, low_r)
+
+    from apsu_tpu.ops.polyeval import eval_ps_inner_pallas, eval_ps_inner_pallas2
+
+    consts = np.stack([np.asarray(q.p_d).ravel(), np.asarray(q.pni_d).ravel()])
+    nseg_b = planes // ph
+
+    def inner_p2(cache_r, low_b):
+        cache5p = cache_r[:, : nseg_b * ph].reshape(
+            (R, nseg_b, ph) + cache_r.shape[2:]
+        )
+        return eval_ps_inner_pallas2(low_b, cache5p, consts[0], consts[1], C)
+
+    def inner_p1(cache_r, low_b):
+        cache5p = cache_r[:, : nseg_b * ph].reshape(
+            (R, nseg_b, ph) + cache_r.shape[2:]
+        )
+        return eval_ps_inner_pallas(low_b, cache5p, consts[0], consts[1], C)
+
+    low_b = mk(ks[1], (B, ell, 2, L, N), hi)
+    timeit("inner_p2", inner_p2, cache_r, low_b)
+    timeit("inner_p1", inner_p1, cache_r, low_b)
+
     # 2. q-side INTT + from_mont
     timeit("intt_q", lambda a: q.from_mont(q.ntt.intt(a)), acc0)
 
@@ -183,12 +234,10 @@ def main():
     xb0 = mk(ks[6], (R, 3, Lb, N), hi)
 
     def scaledown_fn(x_q, x_b):
-        xt_q = mont_mul(x_q, mc["t_mont_q"], q.p_d, q.pni_d)
-        xt_b = mont_mul(x_b, mc["t_mont_bsk"], bsk.p_d, bsk.pni_d)
+        xt_q = shoup_mul(x_q, *mc["t_sh_q"], q.p_d)
+        xt_b = shoup_mul(x_b, *mc["t_sh_bsk"], bsk.p_d)
         cv = conv(xt_q)
-        y_b = mont_mul(
-            sub_mod(xt_b, cv, bsk.p_d), mc["qinv_mont_bsk"], bsk.p_d, bsk.pni_d
-        )
+        y_b = shoup_mul(sub_mod(xt_b, cv, bsk.p_d), *mc["qinv_sh_bsk"], bsk.p_d)
         return mc["sk_conv"](y_b)
 
     timeit("scaledown", scaledown_fn, xq0, xb0)
