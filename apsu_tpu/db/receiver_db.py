@@ -957,6 +957,9 @@ class ReceiverDB:
             "eval_lvl": int(self.eval_lvl),
             "result_lvl": int(self.result_lvl),
             "bundle_range": list(self.bundle_range),
+            "cache_range": (
+                list(self.cache_range) if self.cache_range is not None else None
+            ),
             "n_items": self.stats.n_items,
             "n_insertions": self.stats.n_insertions,
             "n_caches": self.stats.n_caches,
@@ -989,8 +992,11 @@ class ReceiverDB:
                 raise ValueError("checkpoint has no OPRF state; pass one")
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        cr = meta.get("cache_range")
         db = ReceiverDB(
-            params, oprf, bundle_range=tuple(meta.get("bundle_range", ())) or None
+            params, oprf,
+            bundle_range=tuple(meta.get("bundle_range", ())) or None,
+            cache_range=tuple(cr) if cr else None,
         )
         db.coeff_cache = jnp.asarray(np.load(os.path.join(path, "coeff_cache.npy")))
         db.const_slots = jnp.asarray(np.load(os.path.join(path, "const_slots.npy")))
