@@ -131,21 +131,25 @@ class NttContext:
 
     def _pair_mode(self) -> bool:
         """Route transforms through the pair-form VMEM-resident Pallas
-        kernel (ops/ntt_pair.py) — bit-identical.  OPT-IN (APSU_PAIR_NTT=1,
-        N >= 2048, TPU only): it wins the isolated microbench at the 16M
-        shape (tools/ntt_bench.py on v5e, [64,7,8192] chained x32: pair
-        1.44-1.51 ms vs select-Pallas 1.59-1.62 ms vs staged XLA 1.42-1.57
-        ms) but LOSES inside the production programs, where NTT call sites
-        have small leading batches and the select kernel's sublane fill
-        keeps the VPU occupied (tools/profile_query.py A/B: warm query
-        378 ms with pair default vs 281 ms without)."""
+        kernel (ops/ntt_pair.py) — bit-identical.  The microbench
+        (tools/ntt_bench.py on v5e, chained x32, N=8192) splits by limb
+        count: pair wins clearly at L >= 6 (L=6: 1.37 vs 1.78 staged /
+        2.04 select; L=9: 1.67 vs 2.26 / 2.86) but loses to the sublane-
+        filled select kernel at the eval level (L=4: 1.38 vs 1.20), and
+        making it the unconditional default measured SLOWER end-to-end
+        (warm query 378 vs 281 ms), and embedding pair kernels in the
+        production programs triggers pathological remote compiles (the
+        dedup wavefront first call went 82 s -> 568 s with pair default,
+        and >30 min with pair at L >= 6 only).  APSU_PAIR_NTT: "0"
+        (default: never), "1" (always), "auto" (L >= 6 only)."""
         import os
 
         import jax
 
-        return os.environ.get("APSU_PAIR_NTT", "0") == "1" and (
-            jax.default_backend() != "cpu" and self.n >= 2048
-        )
+        mode = os.environ.get("APSU_PAIR_NTT", "0")
+        if mode == "0" or jax.default_backend() == "cpu" or self.n < 2048:
+            return False
+        return mode == "1" or (mode == "auto" and len(self.primes) >= 6)
 
     def _pair_tables(self):
         if not hasattr(self, "_pair_tw"):

@@ -134,7 +134,11 @@ def ntt_pallas(
     # work.  Fuse G batch elements into the sublane axis ([G·L, N] blocks)
     # with G-tiled twiddle/constant tables; per-limb math is unchanged, so
     # outputs are bit-identical.  Only when G divides B (a pad would copy
-    # the whole tensor).
+    # the whole tensor).  G is capped at filling ONE vreg row: larger
+    # fills (e.g. G·L = 24 at the query level, G·L = 36 on Bsk) measured
+    # SLOWER end-to-end (warm query 362 ms vs 281 ms,
+    # tools/profile_query.py) — bigger per-step blocks cost more VMEM/
+    # pipeline overlap than the saved sublanes are worth.
     G = max(1, 8 // L)
     while G > 1 and B % G:
         G -= 1
@@ -189,7 +193,7 @@ def ntt_pallas(
             # doubling the per-stage operands, L=7/N=8192 needs ~20.5 MB of
             # scoped VMEM — above the 16 MB default but far under the chip's
             # 128 MB VMEM (measured OOM on v5e at the 16M-4096 relin shape)
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)

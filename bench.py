@@ -60,6 +60,13 @@ except Exception:
     pass
 TIME_BUDGET_S = float(os.environ.get("APSU_BENCH_BUDGET_S", 560.0))
 _T0 = time.perf_counter()
+# cold-vs-warm honesty: record whether the persistent compile cache had
+# entries when this run started (first_call_s with a warm cache is the
+# serve-loop's realistic cold-process startup; with a cold cache it is
+# the full remote compile)
+_CACHE_WAS_WARM = bool(
+    os.path.isdir("/root/repo/.jax_cache") and os.listdir("/root/repo/.jax_cache")
+)
 
 
 def _left() -> float:
@@ -103,6 +110,20 @@ def _phase_hot() -> dict:
     out = eval_matching_polys(bfv, powers, cache, const_s, mask_s, lvl)
     jax.device_get(chk(out.data))
     _log("hot: first call done")
+
+    # explicit HBM roofline accounting for the dominant kernel
+    # (ops/polyeval.py eval_dot_pallas): the cache streams exactly once;
+    # the power tensor is re-fetched once per cache BLOCK (cb consecutive
+    # caches share one fetch since the r3 grid blocking); the accumulator
+    # writes back once per row per degree chunk.  v5e peak ~819 GB/s.
+    from apsu_tpu.ops.polyeval import _pick_cache_block
+
+    cb = _pick_cache_block(C, L, N)
+    bytes_cache = B * C * planes * L * N * 4
+    bytes_powers = B * (C // cb) * planes * 2 * L * N * 4
+    bytes_out = B * C * (planes // DEG_CHUNK) * 2 * L * N * 4 * 2  # r+w
+    hbm_bytes = bytes_cache + bytes_powers + bytes_out
+
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -118,6 +139,10 @@ def _phase_hot() -> dict:
                     "hot_bundles_per_sec_mean": B * C
                     / (sum(times) / len(times)),
                     "agg": f"best-of-{len(times)}",
+                    "hot_hbm_gbps": round(hbm_bytes / min(times) / 1e9, 1),
+                    "hot_hbm_util_vs_819": round(
+                        hbm_bytes / min(times) / 819e9, 3
+                    ),
                 }
             ),
             flush=True,
@@ -126,6 +151,8 @@ def _phase_hot() -> dict:
         "hot_bundles_per_sec": B * C / min(times),
         "hot_bundles_per_sec_mean": B * C / (sum(times) / len(times)),
         "agg": f"best-of-{len(times)}",
+        "hot_hbm_gbps": round(hbm_bytes / min(times) / 1e9, 1),
+        "hot_hbm_util_vs_819": round(hbm_bytes / min(times) / 819e9, 3),
     }
 
 
@@ -223,12 +250,60 @@ def _phase_ps() -> dict:
             ),
             flush=True,
         )
+
+    # phase split: re-time the two stages with the SAME jitted call
+    # signatures run_query used (batch_first/at_eval) — compile-cache
+    # hits, so the split costs only warm iterations
+    split = {}
+    try:
+        from apsu_tpu.core.bfv import Ciphertext, RelinKey
+        from apsu_tpu.db.measured_levels import powers_at_eval
+        from apsu_tpu.engine.evaluator import (
+            compute_ps_power_tensors,
+            eval_matching_polys_ps,
+        )
+
+        at_eval = powers_at_eval(params)
+        cts = {
+            s: Ciphertext(ct.data[i], is_ntt=False, level=ql)
+            for i, s in enumerate(plist)
+        }
+        rkey = RelinKey(jnp.asarray(rk.ksk), ql)
+        mask_j = jnp.asarray(
+            np.zeros((B, C, N), np.uint32)
+        )
+        tps, tes = [], []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            low_ntt, high_coeff = compute_ps_power_tensors(
+                bfv, cts, recv.plan, rkey, eval_level=db.eval_lvl,
+                batch_first=True, at_eval=at_eval,
+            )
+            jax.device_get(chk(low_ntt))
+            jax.device_get(chk(high_coeff))
+            tps.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            res = eval_matching_polys_ps(
+                bfv, low_ntt, high_coeff, db.coeff_cache, db.ps_const_polys,
+                mask_j, rkey, qp.ps_low_degree, db.result_lvl,
+                tp.max_items_per_bin, eval_level=db.eval_lvl,
+            )
+            jax.device_get(chk(res.data))
+            tes.append(time.perf_counter() - t0)
+        split = {
+            "powers_ms": round(min(tps) * 1e3, 1),
+            "eval_ms": round(min(tes) * 1e3, 1),
+        }
+    except Exception as e:  # the headline number is already banked
+        split = {"split_error": repr(e)}
+
     return {
         "ps_warm_s": min(times),
         "ps_warm_s_mean": sum(times) / len(times),
         "agg": f"best-of-{len(times)}",
         "ps_first_call_s": compile_s,
         "bundles_per_query": B * C,
+        **split,
     }
 
 
@@ -318,10 +393,15 @@ def main():
                 ),
                 "agg": ps.get("agg", "best"),
                 "first_call_s": round(ps["ps_first_call_s"], 1),
+                "compile_cache_warm": _CACHE_WAS_WARM,
                 "bundles_per_query": ps["bundles_per_query"],
+                "powers_ms": ps.get("powers_ms"),
+                "eval_ms": ps.get("eval_ms"),
                 "hot_kernel_bundles_per_sec": (
                     round(hot_bundles, 1) if hot_bundles else None
                 ),
+                "hot_hbm_gbps": (hot or {}).get("hot_hbm_gbps"),
+                "hot_hbm_util_vs_819": (hot or {}).get("hot_hbm_util_vs_819"),
                 "baseline_note": f"denominator "
                 f"{REF_BASELINE_FULL_QUERY_BPS:.2f} bundles/s = "
                 f"{_BASELINE_SRC}; reference FULL PS query (powers + "
