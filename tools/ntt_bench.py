@@ -54,9 +54,11 @@ def main():
         return jax.jit(run)
 
     from apsu_tpu.ops.ntt4 import Ntt4Tables, ntt4
+    from apsu_tpu.ops.ntt4_pallas import Ntt4pTables, ntt4_pallas
     from apsu_tpu.ops.ntt_pair import ntt_pair, pair_tables
 
     tb4 = Ntt4Tables(primes, n)
+    tb4p = Ntt4pTables(primes, n) if n == 8192 else None
     tw_pair = pair_tables(ctx.w_pl, ctx.w_sh, n, inverse=False)
     # the "xla" arm must be the true staged path (ctx.ntt would otherwise
     # route to the default-on Pallas kernel on TPU; gates read at trace time)
@@ -67,6 +69,7 @@ def main():
     fp = chain(lambda v: ntt_pallas(v, tw_f, p_np))
     f4 = chain(lambda v: ntt4(v, tb4))
     fpair = chain(lambda v: ntt_pair(v, tw_pair, p_np))
+    f4p = chain(lambda v: ntt4_pallas(v, tb4p)) if tb4p is not None else None
 
     def bench(f, name, iters=5):
         t0 = time.perf_counter()
@@ -92,6 +95,9 @@ def main():
     assert jnp.array_equal(ox, op), "MISMATCH xla vs pallas"
     assert jnp.array_equal(ox, o4), "MISMATCH xla vs ntt4"
     assert jnp.array_equal(ox, opair), "MISMATCH xla vs pair"
+    if f4p is not None:
+        o4p = bench(f4p, "ntt4p")
+        assert jnp.array_equal(ox, o4p), "MISMATCH xla vs ntt4p"
     print("bit-identical OK")
 
 
