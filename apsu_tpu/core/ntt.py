@@ -171,6 +171,32 @@ class NttContext:
             )
         return self._stage_tw
 
+    def _ntt4p_mode(self) -> bool:
+        """Fused four-step MXU kernel (ops/ntt4_pallas.py): int8 digit
+        matmuls + VMEM recombination, bit-identical.  DEFAULT on TPU at the
+        production degree with < 2^28 limbs — the measured winner at every
+        production limb count (tools/ntt_bench.py on v5e, [64, L, 8192]
+        chained x32: L=4 0.92 ms vs 1.14 select; L=7 1.12 vs 1.47 pair /
+        1.61 select; L=9 1.20 vs 1.69 pair / 2.20 staged), compiling in
+        3-8 s where pair took minutes in-program.  APSU_NTT4P=0 disables."""
+        import os
+
+        import jax
+
+        return (
+            os.environ.get("APSU_NTT4P", "1") != "0"
+            and jax.default_backend() != "cpu"
+            and self.n == 8192
+            and all(p < (1 << 28) for p in self.primes)
+        )
+
+    def _ntt4p_tables(self):
+        if not hasattr(self, "_ntt4p_tb"):
+            from apsu_tpu.ops.ntt4_pallas import Ntt4pTables
+
+            self._ntt4p_tb = Ntt4pTables(self.primes, self.n)
+        return self._ntt4p_tb
+
     def ntt(self, x):
         """Forward negacyclic NTT over the last axis. x: [..., L, N] mont."""
         if self._ntt4_mode():
@@ -182,6 +208,10 @@ class NttContext:
 
             tw_f, _ = self._pair_tables()
             return ntt_pair(x, tw_f, np.asarray(self.consts.p, np.uint32))
+        if self._ntt4p_mode():
+            from apsu_tpu.ops.ntt4_pallas import ntt4_pallas
+
+            return ntt4_pallas(x, self._ntt4p_tables())
         if self._pallas_mode():
             from apsu_tpu.ops.ntt_pallas import ntt_pallas
 
@@ -230,6 +260,10 @@ class NttContext:
                 inverse=True,
                 ninv_np=np.stack([self.ninv_pl, self.ninv_sh], axis=1),
             )
+        if self._ntt4p_mode():
+            from apsu_tpu.ops.ntt4_pallas import ntt4_pallas
+
+            return ntt4_pallas(x, self._ntt4p_tables(), inverse=True)
         if self._pallas_mode():
             from apsu_tpu.ops.ntt_pallas import ntt_pallas
 

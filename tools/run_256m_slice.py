@@ -93,7 +93,7 @@ def main():
         f"{params.bundle_idx_count} bundles — host placement of "
         f"{n * tp.hash_func_count} pairs, then device build")
     t0 = time.perf_counter()
-    stats = db.set_data(items)
+    stats = db.set_data(items, assume_unique=True)  # random 128-bit rows
     # force completion (block_until_ready is unreliable over the tunnel)
     chk = jax.jit(lambda o: jnp.sum(o, dtype=jnp.uint32))
     jax.device_get(chk(db.coeff_cache))
