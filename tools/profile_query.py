@@ -24,6 +24,15 @@ import numpy as np  # noqa: E402
 
 def main():
     import jax
+
+    try:
+        # share the persistent compile cache with bench.py / run_256m_slice:
+        # the profile uses the SAME jitted signatures run_query does, so its
+        # compiles are cache hits for every later chip run (and vice versa)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from apsu_tpu.api.parties import _pow_mod
