@@ -31,6 +31,7 @@ Security parameters (σ=3.2 ternary secret) follow the reference's SEAL
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, replace
 from typing import List, Optional, Sequence
 
@@ -231,11 +232,31 @@ class BfvContext:
                 + 4
                 + extra_bits
             )
-            nb = max(level, math.ceil(need_bits / 30)) + 1  # +1 = m_sk channel
+            # Bsk primes are 28-bit (env APSU_BSK_BITS reverts to the old
+            # 30-bit width): every prime < 2^28 keeps the auxiliary base on
+            # the fused four-step MXU NTT (ops/ntt4_pallas.py, gated on
+            # <2^28 limbs) — the Bsk transforms are the heaviest NTT
+            # surface of both the power wavefront's BEHZ multiplies and the
+            # PS outer products (the fa_b lift alone is ~9.4k planes per
+            # 16M query).  At the eval level the narrower width needs the
+            # SAME limb count (need_bits ≈ 156 → 7 limbs either way); at
+            # the wavefront level it costs one extra limb, more than paid
+            # for by the MXU kernel.  Correctness is width-independent:
+            # BEHZ computes the exact floor(t·x/Q) for ANY aux base whose
+            # capacity covers the tensor bound, which the loop below
+            # verifies against the actual generated primes.
+            width = int(os.environ.get("APSU_BSK_BITS", "28"))
+            nb = max(level, math.ceil(need_bits / width)) + 1  # +1 = m_sk
             exclude = self.q_primes + [self.t] + (
                 [self.special] if self.special else []
             )
-            bsk = RnsBase(nt.gen_ntt_primes([30] * nb, 2 * n, exclude=exclude), n)
+            while True:
+                primes = nt.gen_ntt_primes([width] * nb, 2 * n, exclude=exclude)
+                b_prod = math.prod(primes[:-1])
+                if b_prod.bit_length() > need_bits:  # prod(B) covers the bound
+                    break
+                nb += 1
+            bsk = RnsBase(primes, n)
             self._mul_ctx_cache[key] = {
                 "bsk": bsk,
                 "conv": BaseConv(base, bsk),

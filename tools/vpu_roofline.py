@@ -51,10 +51,16 @@ def main():
     from apsu_tpu.core.mod32 import mont_mul, mul_wide, shoup_mul_lazy
 
     # VMEM-resident compute loops: one [8, 512, 128] u32 block (2 MB),
-    # REPS back-to-back dependent ops so HBM never enters the measurement
+    # REPS back-to-back dependent ops so HBM never enters the measurement.
+    # The kernel is additionally iterated OUTER times by a lax.fori_loop
+    # INSIDE one jitted call: a single dispatch over the remote tunnel
+    # costs ~11 ms (CLAUDE.md), so a one-shot kernel measures the tunnel,
+    # not the VPU — the first committed run of this tool read ~24 ms for
+    # every op class (= 2 dispatches) regardless of the arithmetic.
     SHAPE = (8, 512, 128)
     ELEMS = int(np.prod(SHAPE))
     REPS = 64
+    OUTER = 256
 
     P = (1 << 28) - 57
     R = 1 << 32
@@ -106,8 +112,15 @@ def main():
         x = jnp.asarray(
             np.random.default_rng(0).integers(1, 1 << 28, SHAPE, np.uint64)
         ).astype(jnp.uint32)
+
+        # OUTER chained kernel invocations inside ONE dispatch: the output
+        # feeds the next iteration so nothing is elided, and the per-call
+        # tunnel latency amortizes to noise
+        def many(v):
+            return jax.lax.fori_loop(0, OUTER, lambda i, a: f(a), v)
+
         chk = jax.jit(lambda o: jnp.sum(o, dtype=jnp.uint32))
-        g = jax.jit(f)
+        g = jax.jit(many)
         jax.device_get(chk(g(x)))
         times = []
         for _ in range(5):
@@ -115,19 +128,24 @@ def main():
             jax.device_get(chk(g(x)))
             times.append(time.perf_counter() - t0)
         dt = min(times)
-        total_ops = ELEMS * REPS * ops_per_rep
+        n_ops = ELEMS * REPS * OUTER
         print(
             f"{name:10s} {dt * 1e3:8.3f} ms  "
-            f"{total_ops / dt / 1e9:8.1f} G op/s  "
-            f"({ELEMS * REPS / dt / 1e9:6.2f} G {name}/s)"
+            f"{n_ops * ops_per_rep / dt / 1e9:8.1f} G op/s  "
+            f"({n_ops / dt / 1e9:6.2f} G {name}/s)"
         )
-        return ELEMS * REPS / dt
+        return n_ops / dt
 
-    # HBM stream: big copy through a trivial jit (read + write)
+    # HBM stream: T dependent full-array traversals inside ONE jitted call
+    # (v -> v+1 chained), so the ~11 ms dispatch and the checksum read
+    # amortize over T x 2 GB of real traffic
     big = jnp.asarray(
         np.random.default_rng(1).integers(0, 1 << 30, (1 << 28,), np.uint64)
     ).astype(jnp.uint32)  # 1 GB
-    cp = jax.jit(lambda v: v + jnp.uint32(1))
+    T = 16
+    cp = jax.jit(
+        lambda v: jax.lax.fori_loop(0, T, lambda i, a: a + jnp.uint32(1), v)
+    )
     chk = jax.jit(lambda o: jnp.sum(o, dtype=jnp.uint32))
     jax.device_get(chk(cp(big)))
     times = []
@@ -135,7 +153,7 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(chk(cp(big)))
         times.append(time.perf_counter() - t0)
-    bw = 2 * big.nbytes / min(times)
+    bw = T * 2 * big.nbytes / min(times)
     print(f"stream     {min(times) * 1e3:8.3f} ms  {bw / 1e9:8.1f} GB/s r+w")
 
     # ops_per_rep: lane-visible u32 ALU ops per element per rep (counted
