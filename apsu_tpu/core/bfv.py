@@ -232,20 +232,19 @@ class BfvContext:
                 + 4
                 + extra_bits
             )
-            # Bsk primes are 28-bit (env APSU_BSK_BITS reverts to the old
-            # 30-bit width): every prime < 2^28 keeps the auxiliary base on
-            # the fused four-step MXU NTT (ops/ntt4_pallas.py, gated on
-            # <2^28 limbs) — the Bsk transforms are the heaviest NTT
-            # surface of both the power wavefront's BEHZ multiplies and the
-            # PS outer products (the fa_b lift alone is ~9.4k planes per
-            # 16M query).  At the eval level the narrower width needs the
-            # SAME limb count (need_bits ≈ 156 → 7 limbs either way); at
-            # the wavefront level it costs one extra limb, more than paid
-            # for by the MXU kernel.  Correctness is width-independent:
-            # BEHZ computes the exact floor(t·x/Q) for ANY aux base whose
+            # Bsk prime width (APSU_BSK_BITS).  Default 30: fewer limbs at
+            # the wavefront level, Bsk transforms on the staged/select
+            # butterfly kernels.  28 was MEASURED WORSE end-to-end on chip
+            # (tools/profile_query.py 2026-08-20: eval 165.7 -> 253.2 ms,
+            # powers 118 -> 131 ms): <2^28 limbs route the Bsk base through
+            # the fused four-step MXU NTT, which wins its [64, L, 8192]
+            # microbench but loses badly at the ~9.4k-plane fa_b lift shape
+            # — the microbench winner does NOT transfer to big-batch
+            # in-program transforms.  Correctness is width-independent
+            # (BEHZ computes the exact floor(t·x/Q) for ANY aux base whose
             # capacity covers the tensor bound, which the loop below
-            # verifies against the actual generated primes.
-            width = int(os.environ.get("APSU_BSK_BITS", "28"))
+            # verifies against the actual generated primes).
+            width = int(os.environ.get("APSU_BSK_BITS", "30"))
             nb = max(level, math.ceil(need_bits / width)) + 1  # +1 = m_sk
             exclude = self.q_primes + [self.t] + (
                 [self.special] if self.special else []
