@@ -253,7 +253,25 @@ class Receiver:
         if needs_relin and req.relin_key is None:
             raise ValueError("query requires relinearization keys")
 
-    def run_query(self, req: QueryRequest) -> QueryResponse:
+    def run_query(
+        self, req: QueryRequest, timings: Optional[dict] = None
+    ) -> QueryResponse:
+        """Evaluate one query (reference RunQuery, receiver_osn.cpp:140-540).
+
+        timings: pass a dict to get an IN-CALL phase split — a device sync
+        (jitted scalar checksum + device_get) is inserted between the power
+        wavefront and the bundle evaluation, and {"powers_s", "eval_s"} are
+        recorded such that powers_s + eval_s ≈ the instrumented call's wall
+        time.  Timing the stages as separate re-dispatched calls instead
+        overstated the total by ~30% (BENCH_r03: 143+128 ms vs a 206 ms
+        query) because run_query overlaps host dispatch of the eval chunk
+        programs with device execution of the powers program; the sync
+        serializes that overlap, so an instrumented call runs slightly
+        LONGER than an uninstrumented one — the split is attribution, the
+        uninstrumented number is the headline.
+        """
+        import time as _time
+
         p = self.params
         ql = self.query_lvl
         self.validate_query(req)
@@ -275,11 +293,22 @@ class Receiver:
         from apsu_tpu.db.measured_levels import powers_at_eval
 
         at_eval = powers_at_eval(p)
+
+        def _sync(x):
+            f = self.bfv._jitted("chk_u32", lambda o: jnp.sum(o, dtype=jnp.uint32))
+            jax.device_get(f(x))
+
         if self.plan.uses_ps:
+            t0 = _time.perf_counter()
             low_ntt, high_coeff = compute_ps_power_tensors(
                 self.bfv, cts, self.plan, rk, eval_level=self.db.eval_lvl,
                 batch_first=True, at_eval=at_eval,
             )
+            if timings is not None:
+                _sync(low_ntt)
+                _sync(high_coeff)
+                timings["powers_s"] = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
             res = eval_matching_polys_ps(
                 self.bfv,
                 low_ntt,     # [B, ℓ, 2, L, N]
@@ -293,11 +322,19 @@ class Receiver:
                 p.table_params.max_items_per_bin,
                 eval_level=self.db.eval_lvl,
             )
+            if timings is not None:
+                _sync(res.data)
+                timings["eval_s"] = _time.perf_counter() - t0
             return QueryResponse(results=res.data, eval_level=self.db.result_lvl)
 
+        t0 = _time.perf_counter()
         powers = compute_power_tensor(
             self.bfv, cts, self.plan.low, rk, self.db.eval_lvl, at_eval=at_eval
         )  # [D, B, 2, Le, N]
+        if timings is not None:
+            _sync(powers)
+            timings["powers_s"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
         powers = jnp.moveaxis(powers, 0, 1)  # [B, D, 2, Le, N]
         if self.db.label_cache is not None:
             rho = self.rng.integers(1, t, size=(B, C, N), dtype=np.uint64).astype(
@@ -314,6 +351,9 @@ class Receiver:
                 jnp.asarray(rho),
                 self.db.eval_lvl,
             )
+            if timings is not None:
+                _sync(resM.data)
+                timings["eval_s"] = _time.perf_counter() - t0
             return QueryResponse(
                 results=resM.data,
                 eval_level=self.db.eval_lvl,
@@ -327,6 +367,9 @@ class Receiver:
             jnp.asarray(mask),
             self.db.eval_lvl,
         )
+        if timings is not None:
+            _sync(res.data)
+            timings["eval_s"] = _time.perf_counter() - t0
         return QueryResponse(results=res.data, eval_level=self.db.eval_lvl)
 
     def peqt_matrix(self) -> np.ndarray:

@@ -208,6 +208,23 @@ class BfvContext:
         # costs ~10 ms per op — everything device-side must run under jit)
         self._jit_cache = {}
 
+    @property
+    def _bsk_bits(self) -> int:
+        """Bsk prime width, captured ONCE per context (ADVICE r3: a
+        mid-process APSU_BSK_BITS change must not return stale _mul_ctx
+        entries keyed without the width).  Validated: widths ≥ 31 exceed
+        mod32's < 2^31 prime support and widths outside [20, 30] are
+        untested against the lazy Shoup/Montgomery bounds."""
+        if not hasattr(self, "_bsk_bits_val"):
+            width = int(os.environ.get("APSU_BSK_BITS", "30"))
+            assert 20 <= width <= 30, (
+                f"APSU_BSK_BITS={width} outside the supported prime width "
+                f"range [20, 30] (mod32 needs primes < 2^31; narrower than "
+                f"20 is untested against the lazy-reduction bounds)"
+            )
+            self._bsk_bits_val = width
+        return self._bsk_bits_val
+
     def _jitted(self, key, fn):
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(fn)
@@ -244,7 +261,7 @@ class BfvContext:
             # (BEHZ computes the exact floor(t·x/Q) for ANY aux base whose
             # capacity covers the tensor bound, which the loop below
             # verifies against the actual generated primes).
-            width = int(os.environ.get("APSU_BSK_BITS", "30"))
+            width = self._bsk_bits  # validated, captured once per context
             nb = max(level, math.ceil(need_bits / width)) + 1  # +1 = m_sk
             exclude = self.q_primes + [self.t] + (
                 [self.special] if self.special else []

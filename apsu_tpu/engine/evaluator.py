@@ -166,6 +166,12 @@ def _run_schedule(
     k = level if level is not None else bfv.q.k
     forms = forms if forms is not None else {}
     dedup = _os.environ.get("APSU_DEDUP_FORMS", "1") != "0"
+    # APSU_MUL_CHUNK: targets per batched multiply+relin kernel pair.  A
+    # whole 16M-4096 DAG level is ≤30 targets, so chunk ≥ 30 runs each
+    # level as ONE kernel pair instead of ⌈level/8⌉ — bigger NTT batches,
+    # and the BEHZ temporaries stay small relative to HBM (a 30-target ×
+    # B=4 chunk peaks well under 1 GB at the 16M shape).
+    mul_chunk = int(_os.environ.get("APSU_MUL_CHUNK", mul_chunk))
     for level_grp in schedule.levels:
         if relin_key is None:
             raise ValueError("power schedule requires relinearization keys")

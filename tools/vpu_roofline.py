@@ -153,7 +153,9 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(chk(cp(big)))
         times.append(time.perf_counter() - t0)
-    bw = T * 2 * big.nbytes / min(times)
+    # the timed window includes the chk() full-array read (1 extra GB of
+    # traffic) — count it so counted traffic == timed traffic (ADVICE r3)
+    bw = (T * 2 * big.nbytes + big.nbytes) / min(times)
     print(f"stream     {min(times) * 1e3:8.3f} ms  {bw / 1e9:8.1f} GB/s r+w")
 
     # ops_per_rep: lane-visible u32 ALU ops per element per rep (counted
