@@ -290,9 +290,10 @@ class Receiver:
         mask = self.rng.integers(0, t, size=(B, C, N), dtype=np.uint64).astype(np.uint32)
         self.last_mask = mask
 
-        from apsu_tpu.db.measured_levels import powers_at_eval
+        from apsu_tpu.db.measured_levels import defer_relin, powers_at_eval
 
         at_eval = powers_at_eval(p)
+        defer = defer_relin(p)
 
         def _sync(x):
             f = self.bfv._jitted("chk_u32", lambda o: jnp.sum(o, dtype=jnp.uint32))
@@ -302,7 +303,7 @@ class Receiver:
             t0 = _time.perf_counter()
             low_ntt, high_coeff = compute_ps_power_tensors(
                 self.bfv, cts, self.plan, rk, eval_level=self.db.eval_lvl,
-                batch_first=True, at_eval=at_eval,
+                batch_first=True, at_eval=at_eval, defer_relin=defer,
             )
             if timings is not None:
                 _sync(low_ntt)

@@ -86,6 +86,22 @@ def powers_at_eval(params) -> bool:
     return bool(ov and ov.get("at_eval"))
 
 
+def defer_relin(params) -> bool:
+    """Whether terminal power-DAG products defer relinearization to the
+    eval level (engine/evaluator._run_schedule docstring): the gadget then
+    runs on eval-level digit rows/limb columns — at 16M-4096, 46 of 66
+    relins shrink from 6x7 to 4x5 digit-NTT planes.  The trade is noise
+    (the key-switch additive term enters at the SMALLER modulus, ~q/P
+    above the mod-switch floor), so the flag is only recorded after
+    tools/level_calibrate.py measured the dense probe exact with margin.
+    APSU_DEFER_RELIN=1/0 forces it (calibration/experiments)."""
+    env = os.environ.get("APSU_DEFER_RELIN")
+    if env is not None:
+        return env != "0"
+    ov = lookup(params)
+    return bool(ov and ov.get("defer_relin"))
+
+
 def query_level(params, n_limbs: int) -> int:
     """Fresh-query encryption level: how many chain limbs the sender
     encrypts its query powers (and generates its relin key) at.

@@ -122,10 +122,13 @@ def compute_power_tensor(
         )
         return bfv.to_ntt(switched).data
 
+    import os as _os
+
     fn = bfv._jitted(
         (
             "power_tensor", _schedule_key(schedule), eval_level, srcs,
             src_lvl, rk_lvl, at_eval,
+            int(_os.environ.get("APSU_MUL_CHUNK", 8)),
         ),
         impl,
     )
@@ -145,12 +148,23 @@ def _run_schedule(
     mul_chunk: int = 8,
     level: Optional[int] = None,
     forms: Optional[Dict[int, tuple]] = None,
+    defer_terminal: bool = False,
 ) -> Dict[int, Ciphertext]:
     """Level-synchronous wavefront: each dag level executes as batched
     multiplies + relinearizations over its (target, a, b) products, chunked
     to ``mul_chunk`` targets so the BEHZ temporaries (which span q ∪ Bsk)
     stay bounded while the DB cache is HBM-resident.  ``level`` is the
     modulus level the wavefront runs at (default: full chain).
+
+    ``defer_terminal``: TERMINAL targets (never consumed as operands by a
+    later level) skip relinearization here and stay 3-component — the
+    caller mod-switches them down and relinearizes ALL of them in one
+    batched call at the EVAL level, where the gadget has (k_wf - k_eval)
+    fewer digit rows and limb columns (16M-4096: 46 of 66 products are
+    terminal; their digit NTTs shrink from 6x7 to 4x5 planes).  NOT
+    bit-identical to eager relin (the key-switch rounding happens at a
+    different level); exactness is guarded by the measured-level noise
+    probe like every level choice (tools/level_calibrate.py).
 
     Operand transforms are DEDUPLICATED: each distinct power is forward-
     NTT'd into (q, Bsk) form once per wavefront (``operand_forms``) and the
@@ -172,6 +186,9 @@ def _run_schedule(
     # and the BEHZ temporaries stay small relative to HBM (a 30-target ×
     # B=4 chunk peaks well under 1 GB at the 16M shape).
     mul_chunk = int(_os.environ.get("APSU_MUL_CHUNK", mul_chunk))
+    used = {a for lg in schedule.levels for (_, a, _) in lg} | {
+        b for lg in schedule.levels for (_, _, b) in lg
+    }
     for level_grp in schedule.levels:
         if relin_key is None:
             raise ValueError("power schedule requires relinearization keys")
@@ -201,20 +218,67 @@ def _run_schedule(
                 fb_q = jnp.stack([forms[b][0] for (_, _, b) in group])
                 fb_b = jnp.stack([forms[b][1] for (_, _, b) in group])
                 prod3 = bfv.tensor_scaledown_fused(fa_q, fa_b, fb_q, fb_b, k)
-                rel = bfv.relinearize(
-                    Ciphertext(prod3, is_ntt=False, level=k), relin_key
-                )
             else:
                 lhs = jnp.stack([have[a].data for (_, a, _) in group])
                 rhs = jnp.stack([have[b].data for (_, _, b) in group])
-                prod = bfv.multiply(
+                prod3 = bfv.multiply(
                     Ciphertext(lhs, is_ntt=False, level=k),
                     Ciphertext(rhs, is_ntt=False, level=k),
+                ).data
+            defer_idx = [
+                i
+                for i, (t, _, _) in enumerate(group)
+                if defer_terminal and t not in used
+            ]
+            now_idx = [i for i in range(len(group)) if i not in defer_idx]
+            if now_idx:
+                sel = (
+                    prod3
+                    if len(now_idx) == len(group)
+                    else prod3[np.array(now_idx)]
                 )
-                rel = bfv.relinearize(prod, relin_key)
-            for i, (tgt, _, _) in enumerate(group):
-                have[tgt] = Ciphertext(rel.data[i], is_ntt=False, level=k)
+                rel = bfv.relinearize(
+                    Ciphertext(sel, is_ntt=False, level=k), relin_key
+                )
+                for j, i in enumerate(now_idx):
+                    have[group[i][0]] = Ciphertext(
+                        rel.data[j], is_ntt=False, level=k
+                    )
+            for i in defer_idx:  # stays 3-component; caller relinearizes
+                have[group[i][0]] = Ciphertext(
+                    prod3[i], is_ntt=False, level=k
+                )
     return have
+
+
+_MERGE_OFF = 1 << 20  # disjoint target namespace for merged high powers
+
+
+def _merge_schedules(low: PowerSchedule, high: PowerSchedule) -> PowerSchedule:
+    """Zip the low/high wavefronts level-by-level into ONE schedule (high
+    targets/operands offset by _MERGE_OFF): the two DAGs are independent
+    (x-powers vs y-powers), so level i of each can share one batched
+    multiply + relinearization kernel pair — the 16M-4096 wavefront then
+    runs 3 kernel pairs (13 + 39 + 14 targets) instead of 5 (and instead
+    of 11 chunks at the default mul_chunk=8).  Bit-identical per product
+    (the same operand forms feed the same tensor sequence; only the batch
+    grouping changes, and modular ops are elementwise)."""
+    depth = max(len(low.levels), len(high.levels))
+    levels = []
+    for i in range(depth):
+        grp = list(low.levels[i]) if i < len(low.levels) else []
+        if i < len(high.levels):
+            grp += [
+                (t + _MERGE_OFF, a + _MERGE_OFF, b + _MERGE_OFF)
+                for (t, a, b) in high.levels[i]
+            ]
+        levels.append(grp)
+    return PowerSchedule(
+        sources=low.sources
+        + tuple(s + _MERGE_OFF for s in high.sources),
+        max_power=0,  # unused by _run_schedule (targets listed explicitly)
+        levels=levels,
+    )
 
 
 def compute_ps_power_tensors(
@@ -225,6 +289,7 @@ def compute_ps_power_tensors(
     eval_level: Optional[int] = None,
     batch_first: bool = False,
     at_eval: Optional[bool] = None,
+    defer_relin: Optional[bool] = None,
 ):
     """Power tensors for the Paterson–Stockmeyer path (both at FULL level).
 
@@ -249,6 +314,17 @@ def compute_ps_power_tensors(
 
     if at_eval is None:
         at_eval = _powers_at_eval()
+    import os as _os
+
+    # merged low+high wavefront (see _merge_schedules); APSU_MERGE_WF=0
+    # restores the separate-schedule path (bit-identical either way)
+    merge_wf = _os.environ.get("APSU_MERGE_WF", "1") != "0"
+    # deferred terminal relinearization (see _run_schedule docstring).
+    # Production callers pass ``defer_relin`` from the measured-level table
+    # (db/measured_levels.defer_relin — probe-backed, like at_eval); the
+    # env var forces it for calibration/experiments.
+    if defer_relin is None:
+        defer_relin = _os.environ.get("APSU_DEFER_RELIN", "0") != "0"
 
     def impl(*args):
         if need_rk:
@@ -268,24 +344,70 @@ def compute_ps_power_tensors(
                 level=wf_lvl,
             )
 
-        low_have = {s: src(d) for s, d in zip(low_srcs, datas[:nl])}
-        high_have = {s: src(d) for s, d in zip(high_srcs, datas[nl:])}
-        low = _run_schedule(bfv, low_have, plan.low, rk, level=wf_lvl)
-        high = _run_schedule(bfv, high_have, plan.high, rk, level=wf_lvl)
-        low_stack = jnp.stack(
-            [low[p].data for p in range(1, plan.low.max_power + 1)]
-        )
-        high_stack = jnp.stack(
-            [high[p].data for p in range(1, plan.high.max_power + 1)]
-        )
-        low_sw = bfv.mod_switch_to(
-            Ciphertext(low_stack, is_ntt=False, level=wf_lvl), lvl
-        )
-        high_sw = bfv.mod_switch_to(
-            Ciphertext(high_stack, is_ntt=False, level=wf_lvl), lvl
-        )
-        low_ntt = bfv.to_ntt(low_sw).data
-        high_coeff = high_sw.data
+        if merge_wf:
+            have = {s: src(d) for s, d in zip(low_srcs, datas[:nl])}
+            have.update(
+                {
+                    s + _MERGE_OFF: src(d)
+                    for s, d in zip(high_srcs, datas[nl:])
+                }
+            )
+            have = _run_schedule(
+                bfv, have, _merge_schedules(plan.low, plan.high), rk,
+                level=wf_lvl, defer_terminal=defer_relin,
+            )
+            low = {p: have[p] for p in range(1, plan.low.max_power + 1)}
+            high = {
+                p: have[p + _MERGE_OFF]
+                for p in range(1, plan.high.max_power + 1)
+            }
+        else:
+            low_have = {s: src(d) for s, d in zip(low_srcs, datas[:nl])}
+            high_have = {s: src(d) for s, d in zip(high_srcs, datas[nl:])}
+            low = _run_schedule(
+                bfv, low_have, plan.low, rk, level=wf_lvl,
+                defer_terminal=defer_relin,
+            )
+            high = _run_schedule(
+                bfv, high_have, plan.high, rk, level=wf_lvl,
+                defer_terminal=defer_relin,
+            )
+        # assemble: 2-component powers switch straight down; deferred
+        # 3-component terminal products switch down THEN relinearize once,
+        # batched, at the eval level (46 of 66 products at 16M-4096 — their
+        # gadget runs on eval-level digit rows/limb columns)
+        nlow = plan.low.max_power
+        items = [low[p] for p in range(1, nlow + 1)] + [
+            high[p] for p in range(1, plan.high.max_power + 1)
+        ]
+        i2 = [i for i, c in enumerate(items) if c.size == 2]
+        i3 = [i for i, c in enumerate(items) if c.size == 3]
+        sw2 = bfv.mod_switch_to(
+            Ciphertext(
+                jnp.stack([items[i].data for i in i2]),
+                is_ntt=False,
+                level=wf_lvl,
+            ),
+            lvl,
+        ).data
+        if i3:
+            sw3 = bfv.mod_switch_to(
+                Ciphertext(
+                    jnp.stack([items[i].data for i in i3]),
+                    is_ntt=False,
+                    level=wf_lvl,
+                ),
+                lvl,
+            )
+            rel3 = bfv.relinearize(sw3, rk)
+            full = jnp.concatenate([sw2, rel3.data])
+        else:
+            full = sw2
+        full = full[np.argsort(np.array(i2 + i3))]  # back to power order
+        low_ntt = bfv.to_ntt(
+            Ciphertext(full[:nlow], is_ntt=False, level=lvl)
+        ).data
+        high_coeff = full[nlow:]
         if batch_first:
             low_ntt = jnp.moveaxis(low_ntt, 0, 1)
             high_coeff = jnp.moveaxis(high_coeff, 0, 1)
@@ -303,6 +425,9 @@ def compute_ps_power_tensors(
             rk_lvl,
             batch_first,
             at_eval,
+            merge_wf,
+            defer_relin,
+            int(_os.environ.get("APSU_MUL_CHUNK", 8)),
         ),
         impl,
     )

@@ -97,13 +97,15 @@ def dense_query_probe(
     plan = plan_query(plist, K, p.query_params.ps_low_degree)
     rk = bfv.gen_relin_key(sk, rng, level=ql) if bfv.qp is not None else None
 
-    from apsu_tpu.db.measured_levels import powers_at_eval
+    from apsu_tpu.db.measured_levels import defer_relin, powers_at_eval
 
     at_eval = powers_at_eval(p)
+    defer = defer_relin(p)
     mask = rng.integers(0, t, size=(B, C, N), dtype=np.uint64).astype(np.uint32)
     if plan.uses_ps:
         low_ntt, high_coeff = compute_ps_power_tensors(
-            bfv, cts, plan, rk, eval_level=db.eval_lvl, at_eval=at_eval
+            bfv, cts, plan, rk, eval_level=db.eval_lvl, at_eval=at_eval,
+            defer_relin=defer,
         )
         res = eval_matching_polys_ps(
             bfv,

@@ -287,52 +287,67 @@ def _dig7_sublanes(x):
 
 
 def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
-            uts_ref, x_ref, o_ref, *, consts, n1, n2, inverse):
-    # x/o blocks are PRE-TRANSPOSED by the wrapper: [1, L, n2, n1] with the
-    # n1=128 axis on lanes (all in-kernel reshapes keep the lane axis)
+            uts_ref, x_ref, o_ref, *, consts, n1, n2, inverse, rb):
+    # x/o blocks: [1, rb, L, n2, n1] with the n1=128 axis on lanes (all
+    # in-kernel reshapes keep the lane axis).  rb rows per grid step: the
+    # single-row kernel's elementwise stages ran on [64, 128] tiles —
+    # far below VPU-saturating shapes — and its [n2, 4n1] matmul M=64
+    # under-filled the MXU; batching rb rows multiplies every elementwise
+    # tensor and the step-1 matmul M-dim by rb at identical per-element op
+    # counts (bit-identical outputs, same fold points).
     for l, (p_i, pni_i, mu_i) in enumerate(consts):
         p = jnp.uint32(p_i)
         pni = jnp.uint32(pni_i)
         mu = jnp.uint32(mu_i)
-        xt = x_ref[0, l]                               # [n2, n1]
+        xt = x_ref[0, :, l].reshape(rb * n2, n1)       # [rb·n2, n1]
 
         def contract_n1(v):
-            # groups over the n1 (lane) axis: [n2, n1] -> [n2, n1] u32
-            vd = _dig7_lanes(v)                       # [n2, 4·n1] s8
+            # groups over the n1 (lane) axis: [rb·n2, n1] -> [rb·n2, n1]
+            vd = _dig7_lanes(v)                       # [rb·n2, 4·n1] s8
             grp = jax.lax.dot_general(
                 vd, w1_ref[l],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=I32,
-            )                                          # [n2, 7·n1] i32
+            )                                          # [rb·n2, 7·n1] i32
             return _recombine(
                 [grp[:, g * n1 : (g + 1) * n1].astype(U32) for g in range(7)],
                 p, pni, mu,
             )
 
         def contract_n2(v):
-            # groups over the n2 (sublane) axis: [n2, n1] -> [n2, n1] u32
-            vd = _dig7_sublanes(v)                    # [4·n2, n1] s8
-            grp = jax.lax.dot_general(
-                w2_ref[l], vd,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=I32,
-            )                                          # [7·n2, n1] i32
-            g3 = grp.reshape(7, n2, n1)
+            # groups over the n2 (sublane) axis within each row; the rb
+            # dots keep the [*, n1] lane layout, recombine runs batched
+            v3 = v.reshape(rb, n2, n1)
+            grps = [
+                jax.lax.dot_general(
+                    w2_ref[l], _dig7_sublanes(v3[r]),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=I32,
+                )                                      # [7·n2, n1] i32
+                for r in range(rb)
+            ]
+            g4 = jnp.stack(grps).reshape(rb, 7, n2, n1)
             return _recombine(
-                [g3[g].astype(U32) for g in range(7)], p, pni, mu
-            )
+                [g4[:, g].astype(U32) for g in range(7)], p, pni, mu
+            ).reshape(rb * n2, n1)
+
+        def twmul(v, t_ref, ts_ref):
+            # per-plane twiddle tables broadcast over the rb rows
+            return _shoup_mul(
+                v.reshape(rb, n2, n1), t_ref[l][None], ts_ref[l][None], p
+            ).reshape(rb * n2, n1)
 
         if not inverse:
-            b = _shoup_mul(xt, tw_ref[l], tws_ref[l], p)      # twist
+            b = twmul(xt, tw_ref, tws_ref)                    # twist
             g = contract_n1(b)                                # step 1 (j1)
-            h = _shoup_mul(g, md_ref[l], mds_ref[l], p)       # mid twiddle
+            h = twmul(g, md_ref, mds_ref)                     # mid twiddle
             out = contract_n2(h)                              # step 2 (j2)
         else:
             pcol = contract_n2(xt)                            # step A (k2)
-            q = _shoup_mul(pcol, md_ref[l], mds_ref[l], p)    # mid inverse
+            q = twmul(pcol, md_ref, mds_ref)                  # mid inverse
             bb = contract_n1(q)                               # step B (k1)
-            out = _shoup_mul(bb, ut_ref[l], uts_ref[l], p)    # untwist·1/N
-        o_ref[0, l] = out
+            out = twmul(bb, ut_ref, uts_ref)                  # untwist·1/N
+        o_ref[0, :, l] = out.reshape(rb, n2, n1)
 
 
 def ntt4_pallas(x, tb: Ntt4pTables, inverse: bool = False,
@@ -358,11 +373,22 @@ def ntt4_pallas(x, tb: Ntt4pTables, inverse: bool = False,
     # of HBM each way
     xt = xf.reshape(B, L, n1, n2).swapaxes(-2, -1)
 
+    # rows per grid step: the largest divisor of B within the VMEM budget
+    # (x/o blocks are rb·L·64 KB together; rb=8, L=9 is ~4.6 MB)
+    import os as _os
+
+    rb_max = int(_os.environ.get("APSU_NTT4P_RB", "8"))
+    rb = 1
+    for d in range(1, min(B, rb_max) + 1):
+        if B % d == 0:
+            rb = d
+    xt = xt.reshape(B // rb, rb, L, n2, n1)
+
     consts = tuple(
         (int(tb.p[l]), int(tb.pni[l]), int(tb.mu[l])) for l in range(L)
     )
     kernel = functools.partial(
-        _kernel, consts=consts, n1=n1, n2=n2, inverse=inverse
+        _kernel, consts=consts, n1=n1, n2=n2, inverse=inverse, rb=rb
     )
     const_specs = [
         pl.BlockSpec(w1_blk.shape, lambda b: (0, 0, 0)),
@@ -376,11 +402,11 @@ def ntt4_pallas(x, tb: Ntt4pTables, inverse: bool = False,
     ]
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // rb,),
         in_specs=const_specs
-        + [pl.BlockSpec((1, L, n2, n1), lambda b: (b, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, L, n2, n1), lambda b: (b, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, n2, n1), jnp.uint32),
+        + [pl.BlockSpec((1, rb, L, n2, n1), lambda b: (b, 0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, rb, L, n2, n1), lambda b: (b, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B // rb, rb, L, n2, n1), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -393,4 +419,6 @@ def ntt4_pallas(x, tb: Ntt4pTables, inverse: bool = False,
         jnp.asarray(tb.untwist), jnp.asarray(tb.untwist_sh),
         xt,
     )
-    return out.swapaxes(-2, -1).reshape(x.shape)
+    return (
+        out.reshape(B, L, n2, n1).swapaxes(-2, -1).reshape(x.shape)
+    )

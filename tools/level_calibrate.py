@@ -103,6 +103,11 @@ def calibrate(stem: str) -> dict:
         if "at_eval" not in out["accepted"] and ql > floor:
             if try_one({**out["accepted"], "at_eval": 1}):
                 pass  # try_one recorded the accepted dict
+        # defer_relin: terminal DAG products relinearize once at the eval
+        # level (the gadget noise enters at the smaller modulus — measure)
+        if uses_ps and "defer_relin" not in out["accepted"]:
+            if try_one({**out["accepted"], "defer_relin": 1}):
+                pass
         return out
     if uses_ps:
         ps0, r0 = db.ps_level(), db.result_level()
@@ -133,6 +138,9 @@ def calibrate(stem: str) -> dict:
     acc = out.get("accepted", dict(best))
     if ql > floor and try_one({**acc, "at_eval": 1}):
         pass
+    if uses_ps and "defer_relin" not in out.get("accepted", {}):
+        if try_one({**out.get("accepted", dict(best)), "defer_relin": 1}):
+            pass
     return out
 
 
