@@ -322,9 +322,22 @@ def serve_db_party(
             rk = None
         powers = recv.bfv.ct_from_seed(c0, a_seed, level=ql)
         t0 = time.perf_counter()
-        resp = recv.run_query(
-            QueryRequest(power_list=plist, powers_data=powers.data, relin_key=rk)
-        )
+        if dist is not None:
+            dtm: Dict[str, float] = {}
+            resp = recv.run_query(
+                QueryRequest(
+                    power_list=plist, powers_data=powers.data, relin_key=rk
+                ),
+                timings=dtm,
+            )
+            timings.update({f"dist_{k}": v for k, v in dtm.items()})
+            timings["worker_build_s"] = list(recv.worker_build_s)
+        else:
+            resp = recv.run_query(
+                QueryRequest(
+                    power_list=plist, powers_data=powers.data, relin_key=rk
+                )
+            )
         timings["run_query"] = time.perf_counter() - t0
         res_np = jax.device_get(resp.results)
         primes = recv.bfv.levels[resp.eval_level].primes

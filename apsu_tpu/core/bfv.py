@@ -216,7 +216,7 @@ class BfvContext:
         mod32's < 2^31 prime support and widths outside [20, 30] are
         untested against the lazy Shoup/Montgomery bounds."""
         if not hasattr(self, "_bsk_bits_val"):
-            width = int(os.environ.get("APSU_BSK_BITS", "30"))
+            width = int(os.environ.get("APSU_BSK_BITS", "28"))
             assert 20 <= width <= 30, (
                 f"APSU_BSK_BITS={width} outside the supported prime width "
                 f"range [20, 30] (mod32 needs primes < 2^31; narrower than "
@@ -249,15 +249,16 @@ class BfvContext:
                 + 4
                 + extra_bits
             )
-            # Bsk prime width (APSU_BSK_BITS).  Default 30: fewer limbs at
-            # the wavefront level, Bsk transforms on the staged/select
-            # butterfly kernels.  28 was MEASURED WORSE end-to-end on chip
-            # (tools/profile_query.py 2026-08-20: eval 165.7 -> 253.2 ms,
-            # powers 118 -> 131 ms): <2^28 limbs route the Bsk base through
-            # the fused four-step MXU NTT, which wins its [64, L, 8192]
-            # microbench but loses badly at the ~9.4k-plane fa_b lift shape
-            # — the microbench winner does NOT transfer to big-batch
-            # in-program transforms.  Correctness is width-independent
+            # Bsk prime width (APSU_BSK_BITS).  Default 28: every Bsk
+            # transform rides the fused four-step MXU Pallas kernel
+            # (<2^28 precondition) instead of the staged XLA butterflies.
+            # History: 28 measured WORSE in round 3 (the single-row ntt4p
+            # grid lost at the ~9.4k-plane fa_b shape); the round-4
+            # rb-batched grid reversed that — tools/wavefront_ab.py on
+            # chip 2026-08-20: warm query 175.5 ms @28 vs 181.6 @30, and
+            # the all-Pallas program compiles 4-10x faster (82 s vs
+            # 13-30 min for the powers program: the staged-XLA stage
+            # unrolling was the compile hog).  Correctness is width-independent
             # (BEHZ computes the exact floor(t·x/Q) for ANY aux base whose
             # capacity covers the tensor bound, which the loop below
             # verifies against the actual generated primes).

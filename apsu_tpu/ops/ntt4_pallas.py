@@ -270,24 +270,25 @@ def _recombine(grp_u32_list, p, pni, mu):
     return t
 
 
-def _dig7_lanes(x):
-    """[R, K] u32 -> [R, 4K] s8: digits stacked along the lane axis."""
+def _dig7_lanes(x, dt=jnp.int8):
+    """[R, K] u32 -> [R, 4K] digits (dt) stacked along the lane axis."""
     return jnp.concatenate(
-        [((x >> (7 * u)) & jnp.uint32(0x7F)).astype(jnp.int8) for u in range(4)],
+        [((x >> (7 * u)) & jnp.uint32(0x7F)).astype(dt) for u in range(4)],
         axis=-1,
     )
 
 
-def _dig7_sublanes(x):
-    """[K, C] u32 -> [4K, C] s8: digits stacked along the sublane axis."""
+def _dig7_sublanes(x, dt=jnp.int8):
+    """[K, C] u32 -> [4K, C] digits (dt) stacked along the sublane axis."""
     return jnp.concatenate(
-        [((x >> (7 * u)) & jnp.uint32(0x7F)).astype(jnp.int8) for u in range(4)],
+        [((x >> (7 * u)) & jnp.uint32(0x7F)).astype(dt) for u in range(4)],
         axis=-2,
     )
 
 
 def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
-            uts_ref, x_ref, o_ref, *, consts, n1, n2, inverse, rb):
+            uts_ref, x_ref, o_ref, *, consts, n1, n2, inverse, rb,
+            bf16=False):
     # x/o blocks: [1, rb, L, n2, n1] with the n1=128 axis on lanes (all
     # in-kernel reshapes keep the lane axis).  rb rows per grid step: the
     # single-row kernel's elementwise stages ran on [64, 128] tiles —
@@ -295,6 +296,12 @@ def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
     # under-filled the MXU; batching rb rows multiplies every elementwise
     # tensor and the step-1 matmul M-dim by rb at identical per-element op
     # counts (bit-identical outputs, same fold points).
+    # bf16 digit matmuls (APSU_NTT4P_BF16): 7-bit digits are exact in
+    # bf16 and every group sum < 512·127² = 8.26 M < 2^24, so f32 MXU
+    # accumulation is exact — an A/B against the s8/i32 path, which may
+    # not lower natively on every MXU generation
+    dt = jnp.bfloat16 if bf16 else jnp.int8
+    acc_t = jnp.float32 if bf16 else I32
     for l, (p_i, pni_i, mu_i) in enumerate(consts):
         p = jnp.uint32(p_i)
         pni = jnp.uint32(pni_i)
@@ -303,12 +310,12 @@ def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
 
         def contract_n1(v):
             # groups over the n1 (lane) axis: [rb·n2, n1] -> [rb·n2, n1]
-            vd = _dig7_lanes(v)                       # [rb·n2, 4·n1] s8
+            vd = _dig7_lanes(v, dt)                   # [rb·n2, 4·n1]
             grp = jax.lax.dot_general(
                 vd, w1_ref[l],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=I32,
-            )                                          # [rb·n2, 7·n1] i32
+                preferred_element_type=acc_t,
+            )                                          # [rb·n2, 7·n1]
             return _recombine(
                 [grp[:, g * n1 : (g + 1) * n1].astype(U32) for g in range(7)],
                 p, pni, mu,
@@ -320,10 +327,10 @@ def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
             v3 = v.reshape(rb, n2, n1)
             grps = [
                 jax.lax.dot_general(
-                    w2_ref[l], _dig7_sublanes(v3[r]),
+                    w2_ref[l], _dig7_sublanes(v3[r], dt),
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=I32,
-                )                                      # [7·n2, n1] i32
+                    preferred_element_type=acc_t,
+                )                                      # [7·n2, n1]
                 for r in range(rb)
             ]
             g4 = jnp.stack(grps).reshape(rb, 7, n2, n1)
@@ -384,11 +391,17 @@ def ntt4_pallas(x, tb: Ntt4pTables, inverse: bool = False,
             rb = d
     xt = xt.reshape(B // rb, rb, L, n2, n1)
 
+    bf16 = _os.environ.get("APSU_NTT4P_BF16") == "1"
+    if bf16:
+        w1_blk = w1_blk.astype(np.float32)  # -> bf16 on device below
+        w2_blk = w2_blk.astype(np.float32)
+
     consts = tuple(
         (int(tb.p[l]), int(tb.pni[l]), int(tb.mu[l])) for l in range(L)
     )
     kernel = functools.partial(
-        _kernel, consts=consts, n1=n1, n2=n2, inverse=inverse, rb=rb
+        _kernel, consts=consts, n1=n1, n2=n2, inverse=inverse, rb=rb,
+        bf16=bf16,
     )
     const_specs = [
         pl.BlockSpec(w1_blk.shape, lambda b: (0, 0, 0)),
@@ -413,7 +426,8 @@ def ntt4_pallas(x, tb: Ntt4pTables, inverse: bool = False,
         ),
         interpret=interpret,
     )(
-        jnp.asarray(w1_blk), jnp.asarray(w2_blk),
+        jnp.asarray(w1_blk, jnp.bfloat16 if bf16 else None),
+        jnp.asarray(w2_blk, jnp.bfloat16 if bf16 else None),
         jnp.asarray(tb.twist), jnp.asarray(tb.twist_sh),
         jnp.asarray(md), jnp.asarray(mds),
         jnp.asarray(tb.untwist), jnp.asarray(tb.untwist_sh),

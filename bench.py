@@ -344,16 +344,18 @@ def main():
         return
 
     # parent mode: orchestrate phases under the global budget.  The
-    # hot-kernel metric runs FIRST under a bounded deadline so a nonzero
-    # measurement is banked early (device init alone has taken 60+ s on
-    # the erratic tunnel); the production PS query — the headline — then
-    # gets everything that remains, and even a deadline kill yields its
-    # last interim measurement via the rescued child stdout.
-    _log("phase 1: hot-kernel metric (subprocess)")
-    hot = _run_phase_subprocess("hot", min(240.0, _left() * 0.45))
+    # production PS query — the HEADLINE — runs FIRST with most of the
+    # budget: its all-Pallas program compiles in ~325 s cold (measured
+    # 2026-08-20 after the 28-bit Bsk default), which fits the driver's
+    # 600 s budget only if nothing runs before it (the old hot-first
+    # order burned 240 s on the secondary metric and banked 0.0).  The
+    # hot-kernel metric takes whatever remains; a deadline kill still
+    # yields the last interim measurement via the rescued child stdout.
+    _log("phase 1: production PS query (subprocess)")
+    ps = _run_phase_subprocess("ps", _left() - 70)
 
-    _log("phase 2: production PS query (subprocess)")
-    ps = _run_phase_subprocess("ps", _left() - 15)
+    _log("phase 2: hot-kernel metric (subprocess)")
+    hot = _run_phase_subprocess("hot", _left() - 10)
     hot_bundles = hot["hot_bundles_per_sec"] if hot else None
     if hot_bundles:
         _log(f"hot kernel: {hot_bundles:.1f} bundles/s")
