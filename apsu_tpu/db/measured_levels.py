@@ -59,6 +59,21 @@ MEASURED: Dict[str, Dict[str, int]] = {
     "b1a406a5ea0d9eea": {"ps": 4, "result": 2, "query": 6},
     # 16M-11041: ps=4/result=2 at 19.8 bits (ps=3 overflowed)
     "7db80464df48a875": {"ps": 4, "result": 2, "query": 6},
+    # 256K family, 2026-08-20 calibration (CPU, bit-identical probe).
+    # All descents below the recorded points overflowed (budget 0.0);
+    # at_eval rejected everywhere; query descent rejected everywhere.
+    # 256K-512: eval 3->2 at 8.4 bits
+    "9db5e6530137716e": {"eval": 2},
+    # 256K-1024: eval 3->2 at 8.7 bits
+    "f08dfebe1f2ae777": {"eval": 2},
+    # 256K-2048-cmp: eval 3->2 at 9.5 bits
+    "eb554f094649de56": {"eval": 2},
+    # 256K-2048-com: result 3->2 + defer_relin at 7.2 bits (ps=2 overflowed)
+    "37153a726850dcbb": {"ps": 3, "result": 2, "defer_relin": 1},
+    # 256K-4096-cmp: eval 3->2 at 6.5 bits
+    "6b5c8b48b6acbc27": {"eval": 2},
+    # 256K-4096-com: ps 5->4, result 4->2 + defer_relin at 14.8 bits
+    "6d33295f8b99ff09": {"ps": 4, "result": 2, "defer_relin": 1},
 }
 
 

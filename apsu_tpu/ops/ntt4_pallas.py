@@ -270,10 +270,18 @@ def _recombine(grp_u32_list, p, pni, mu):
     return t
 
 
+def _dig(x, dt):
+    """One digit value < 2^7 cast to the matmul dtype (Mosaic has no
+    direct u32->bf16 cast; route through i32)."""
+    if dt == jnp.bfloat16:
+        return x.astype(jnp.int32).astype(dt)
+    return x.astype(dt)
+
+
 def _dig7_lanes(x, dt=jnp.int8):
     """[R, K] u32 -> [R, 4K] digits (dt) stacked along the lane axis."""
     return jnp.concatenate(
-        [((x >> (7 * u)) & jnp.uint32(0x7F)).astype(dt) for u in range(4)],
+        [_dig((x >> (7 * u)) & jnp.uint32(0x7F), dt) for u in range(4)],
         axis=-1,
     )
 
@@ -281,7 +289,7 @@ def _dig7_lanes(x, dt=jnp.int8):
 def _dig7_sublanes(x, dt=jnp.int8):
     """[K, C] u32 -> [4K, C] digits (dt) stacked along the sublane axis."""
     return jnp.concatenate(
-        [((x >> (7 * u)) & jnp.uint32(0x7F)).astype(dt) for u in range(4)],
+        [_dig((x >> (7 * u)) & jnp.uint32(0x7F), dt) for u in range(4)],
         axis=-2,
     )
 
@@ -302,6 +310,10 @@ def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
     # not lower natively on every MXU generation
     dt = jnp.bfloat16 if bf16 else jnp.int8
     acc_t = jnp.float32 if bf16 else I32
+
+    def to_u32(g):
+        # f32 group sums are exact integers < 2^24; Mosaic needs the i32 hop
+        return g.astype(I32).astype(U32) if bf16 else g.astype(U32)
     for l, (p_i, pni_i, mu_i) in enumerate(consts):
         p = jnp.uint32(p_i)
         pni = jnp.uint32(pni_i)
@@ -317,7 +329,7 @@ def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
                 preferred_element_type=acc_t,
             )                                          # [rb·n2, 7·n1]
             return _recombine(
-                [grp[:, g * n1 : (g + 1) * n1].astype(U32) for g in range(7)],
+                [to_u32(grp[:, g * n1 : (g + 1) * n1]) for g in range(7)],
                 p, pni, mu,
             )
 
@@ -335,7 +347,7 @@ def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
             ]
             g4 = jnp.stack(grps).reshape(rb, 7, n2, n1)
             return _recombine(
-                [g4[:, g].astype(U32) for g in range(7)], p, pni, mu
+                [to_u32(g4[:, g]) for g in range(7)], p, pni, mu
             ).reshape(rb * n2, n1)
 
         def twmul(v, t_ref, ts_ref):
