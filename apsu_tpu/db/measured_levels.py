@@ -74,6 +74,28 @@ MEASURED: Dict[str, Dict[str, int]] = {
     "6b5c8b48b6acbc27": {"eval": 2},
     # 256K-4096-com: ps 5->4, result 4->2 + defer_relin at 14.8 bits
     "6d33295f8b99ff09": {"ps": 4, "result": 2, "defer_relin": 1},
+    # 1M family, 2026-08-20 calibration (same protocol; 1M-1, 1M-256-288,
+    # 1M-4096-cmp and 100K-1 held no headroom below their analytic picks)
+    # 1M-256: eval 3->2 at 9.5 bits
+    "58bad4e04c849f1e": {"eval": 2},
+    # 1M-512-cmp: eval 3->2 at 7.9 bits
+    "a3659a5de7e36d6e": {"eval": 2},
+    # 1M-512-com: result 3->2 + defer_relin at 11.3 bits
+    "d1b0c1d8249e7628": {"ps": 3, "result": 2, "defer_relin": 1},
+    # 1M-1024-cmp: eval 3->2 at 9.2 bits
+    "fe1c3e0f080fdabc": {"eval": 2},
+    # 1M-1024-com: result 3->2 + defer_relin at 8.1 bits
+    "788b7f6f68bded8c": {"ps": 3, "result": 2, "defer_relin": 1},
+    # 1M-2048-cmp: eval 3->2 at 9.5 bits
+    "8e2208e16bed876d": {"eval": 2},
+    # 1M-2048-com: result 3->2 + defer_relin at 10.6 bits
+    "725c14864b698b0b": {"ps": 3, "result": 2, "defer_relin": 1},
+    # 1M-4096-com: ps 4->3, result 4->2 at 14.4 bits (defer_relin overflowed)
+    "19a0f88441f2d9d9": {"ps": 3, "result": 2},
+    # 1M-5535: ps 5->4, result 4->2 + defer_relin at 9.0 bits
+    "a196e9452126afbd": {"ps": 4, "result": 2, "defer_relin": 1},
+    # 1M-11041: ps 5->4, result 4->2 + defer_relin at 9.2 bits
+    "1d8ccda41798fd3a": {"ps": 4, "result": 2, "defer_relin": 1},
 }
 
 

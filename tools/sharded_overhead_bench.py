@@ -101,18 +101,28 @@ def main():
     # final responses must be bit-identical across the two paths
     direct = Receiver(params, db, rng=CsRng(b"sharded-overhead-recv-001"))
     d_s, d_comp, d_resp = timeit("direct", direct)
+    d_res_np = np.asarray(jax.device_get(d_resp.results))
+    del d_resp
 
-    mesh = Mesh(np.asarray(jax.devices()[:1]), ("rows",))
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("bundle",))
     shard = ShardedReceiver(
         params, db, mesh, rng=CsRng(b"sharded-overhead-recv-001")
     )
+    # the sharded runtime holds its OWN device copy of the cache; swap the
+    # direct path's for a host-side shape dummy to stay inside 16 GB HBM
+    # (both copies resident OOM'd at C=6 — ShardedReceiver.run_query reads
+    # only coeff_cache.shape[:2])
+    db.coeff_cache = np.zeros((B, C, 1, 1, 1), np.uint32)
+    db.ps_const_polys = None
+    import gc
+
+    gc.collect()
     s_s, s_comp, s_resp = timeit("sharded-1dev", shard)
 
+    s_res_np = np.asarray(jax.device_get(s_resp.results))
     identical = bool(
-        jnp.array_equal(
-            jnp.asarray(d_resp.results), jnp.asarray(s_resp.results)
-        )
-    ) if d_resp.results.shape == s_resp.results.shape else False
+        np.array_equal(d_res_np, s_res_np)
+    ) if d_res_np.shape == s_res_np.shape else False
 
     print(json.dumps({
         "config": "16M-4096",
