@@ -96,6 +96,12 @@ MEASURED: Dict[str, Dict[str, int]] = {
     "a196e9452126afbd": {"ps": 4, "result": 2, "defer_relin": 1},
     # 1M-11041: ps 5->4, result 4->2 + defer_relin at 9.2 bits
     "1d8ccda41798fd3a": {"ps": 4, "result": 2, "defer_relin": 1},
+    # 256M-4096 (north star), 2026-08-20 partial calibration: first
+    # descent step ps 7->6 / result 5->4 ACCEPTED at 18.7 bits (CPU dense
+    # probe, 1293 s/probe — the deep-310 DAG makes full descent a
+    # multi-hour run; deeper steps not yet measured, so this entry is
+    # conservative-but-measured, not the floor)
+    "b9e817289e5e4031": {"ps": 6, "result": 4},
 }
 
 
