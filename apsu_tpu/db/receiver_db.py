@@ -480,27 +480,59 @@ class ReceiverDB:
         # worth (the 16M cache is ~7 GB; building it in one shot would need
         # 2-3x that transiently).  Chunks are written into a preallocated,
         # DONATED buffer — a final jnp.stack would transiently double the
-        # full cache and OOM the 16 GB chip.
-        fn = self.bfv._jitted(("db_build", lvl, uses_ps, C, planes), build)
-        place_key = ("db_place", lvl, uses_ps, C, planes)
+        # full cache and OOM the 16 GB chip.  At 256M-slice shapes even ONE
+        # bundle's chunk (C·planes·L·N, ~2.4 GB at C=3/K=4000/L=6) plus its
+        # lift/NTT temporaries no longer fits beside the donated buffer, so
+        # the build sub-chunks the cache axis once a bundle chunk exceeds
+        # ~1 GB (cc caches per device call; r4 — the 256M slice OOM'd at
+        # both --caches 4 and 3 before this).
+        Lq = self.bfv.levels[lvl].k
+        chunk_bytes = C * planes * Lq * N * 4
+        cc = C
+        # 1.25 GB: the 16M bundle chunk (1.04 GB) stays a single call
+        while cc > 1 and (chunk_bytes * cc + C - 1) // C > (5 << 28):
+            cc -= 1
+        fn = self.bfv._jitted(("db_build", lvl, uses_ps, cc, planes), build)
+        place_key = ("db_place", lvl, uses_ps, cc, planes)
         if place_key not in self.bfv._jit_cache:
             self.bfv._jit_cache[place_key] = jax.jit(
-                lambda buf, chunk, b: jax.lax.dynamic_update_slice_in_dim(
-                    buf, chunk[None], b, axis=0
+                lambda buf, chunk, b, c: jax.lax.dynamic_update_slice(
+                    buf,
+                    chunk[None],
+                    (b, c) + (0,) * (buf.ndim - 2),
                 ),
                 donate_argnums=0,
+                static_argnums=(),
             )
         place = self.bfv._jit_cache[place_key]
-        Lq = self.bfv.levels[lvl].k
         cache_buf = jnp.zeros((B, C, planes, Lq, N), jnp.uint32)
         consts = []
         ps_consts = []
         for b in range(B):
-            out = fn(jnp.asarray(roots[b]), jnp.asarray(counts[b]))
-            cache_buf = place(cache_buf, out[0], b)
-            consts.append(out[1])
+            c_out, c_ps = [], []
+            for c0 in range(0, C, cc):
+                cs = slice(c0, min(C, c0 + cc))
+                if cs.stop - cs.start != cc:  # remainder chunk: own program
+                    fn_r = self.bfv._jitted(
+                        ("db_build", lvl, uses_ps, cs.stop - cs.start, planes),
+                        build,
+                    )
+                    out = fn_r(jnp.asarray(roots[b, cs]), jnp.asarray(counts[b, cs]))
+                else:
+                    out = fn(jnp.asarray(roots[b, cs]), jnp.asarray(counts[b, cs]))
+                cache_buf = place(
+                    cache_buf, out[0], np.int32(b), np.int32(c0)
+                )
+                c_out.append(out[1])
+                if uses_ps:
+                    c_ps.append(out[2])
+            consts.append(
+                c_out[0] if len(c_out) == 1 else jnp.concatenate(c_out)
+            )
             if uses_ps:
-                ps_consts.append(out[2])
+                ps_consts.append(
+                    c_ps[0] if len(c_ps) == 1 else jnp.concatenate(c_ps)
+                )
         self.coeff_cache = cache_buf
         self.const_slots = jnp.stack(consts)
         self.ps_const_polys = jnp.stack(ps_consts) if uses_ps else None
@@ -988,11 +1020,16 @@ class ReceiverDB:
         lvl = self.eval_lvl
         uses_ps = self.ps_const_polys is not None
         planes = self.coeff_cache.shape[2]
+        # the initial build registered these under its cache-chunk size cc;
+        # incremental rebuilds run at shapes where cc == C (the sub-chunked
+        # 256M-slice builds are bulk-load-only)
         fn = self.bfv._jit_cache[("db_build", lvl, uses_ps, C, planes)]
         place = self.bfv._jit_cache[("db_place", lvl, uses_ps, C, planes)]
         for b in sorted(bundles):
             out = fn(jnp.asarray(self._roots[b]), jnp.asarray(self._counts[b]))
-            self.coeff_cache = place(self.coeff_cache, out[0], b)
+            self.coeff_cache = place(
+                self.coeff_cache, out[0], np.int32(b), np.int32(0)
+            )
             self.const_slots = self.const_slots.at[b].set(out[1])
             if uses_ps:
                 self.ps_const_polys = self.ps_const_polys.at[b].set(out[2])
