@@ -89,6 +89,71 @@ def main():
     items = rng.integers(0, 1 << 64, size=(n, 2), dtype=np.uint64)
 
     db = ReceiverDB(params, oprf, cache_range=(0, args.caches))
+
+    # compile the query pipeline FIRST against a synthetic same-shape
+    # cache: the remote compile service drops connections unpredictably
+    # (a 310-power wavefront compile died 33 min AFTER a 31-min build on
+    # 2026-08-20), so pay the compile risk before the expensive build —
+    # the real query then reuses the in-process executables (identical
+    # shapes/jit keys)
+    if not os.environ.get("APSU_SLICE_NO_PREWARM"):
+        from apsu_tpu.api.parties import QueryRequest, _pow_mod
+        from apsu_tpu.core.params import PSUParams as _P
+        from apsu_tpu.db.measured_levels import query_level
+        from apsu_tpu.ops.polyeval import plane_count
+
+        log("pre-compiling the query pipeline on a synthetic cache")
+        t0 = time.perf_counter()
+        tp_ = params.table_params
+        qp_ = params.query_params
+        B_ = params.bundle_idx_count
+        K_, N_ = tp_.max_items_per_bin, params.poly_degree
+        t_ = params.seal_params.plain_modulus
+        lvl_ = db.ps_level()
+        L_ = db.bfv.levels[lvl_].k
+        nh_ = K_ // (qp_.ps_low_degree + 1)
+        planes_ = plane_count(K_, qp_.ps_low_degree)
+        import jax.numpy as jnp_
+
+        key = jax.random.PRNGKey(1)
+        k1, k2 = jax.random.split(key)
+        mk = lambda k, shape, hi: jax.random.randint(
+            k, shape, 0, hi, dtype=jnp_.int32
+        ).astype(jnp_.uint32)
+        db.coeff_cache = mk(k1, (B_, args.caches, planes_, L_, N_), 1 << 20)
+        db.ps_const_polys = mk(k2, (B_, args.caches, nh_ + 1, N_), int(t_))
+        db.const_slots = None
+        db.eval_lvl = lvl_
+        db.result_lvl = db.result_level()
+        wrng = CsRng(b"256m-slice-prewarm-key-01")
+        sk_ = db.bfv.gen_secret_key(wrng)
+        ql_ = query_level(params, len(db.bfv.q_primes))
+        rk_ = db.bfv.gen_relin_key(sk_, wrng, level=ql_)
+        qvec_ = np.asarray(
+            wrng.integers(1, t_, size=(B_, N_), dtype=np.uint64)
+        ).astype(np.uint32)
+        plist_ = tuple(qp_.query_powers)
+        st_ = np.stack(
+            [
+                _pow_mod(qvec_.astype(np.uint64), s, t_).astype(np.uint32)
+                for s in plist_
+            ]
+        )
+        ct_ = db.bfv.encrypt_symmetric(db.bfv.encode(st_), sk_, wrng, level=ql_)
+        req_ = QueryRequest(
+            power_list=plist_, powers_data=ct_.data, relin_key=rk_.ksk
+        )
+        recv_ = Receiver(params, db, rng=CsRng(b"256m-slice-prewarm-rcv-1"))
+        chk0 = jax.jit(lambda o: jnp.sum(o, dtype=jnp.uint32))
+        r_ = recv_.run_query(req_)
+        jax.device_get(chk0(r_.results))
+        del r_, recv_, req_, ct_
+        db.coeff_cache = None
+        db.ps_const_polys = None
+        import gc
+
+        gc.collect()
+        log(f"pre-compile done in {time.perf_counter() - t0:.1f}s")
     log(f"building cache slice (0, {args.caches}) of "
         f"{params.bundle_idx_count} bundles — host placement of "
         f"{n * tp.hash_func_count} pairs, then device build")
@@ -171,7 +236,16 @@ def main():
     t0 = time.perf_counter()
     db.save(args.out)
     ckpt_s = time.perf_counter() - t0
-    ckpt_bytes = os.path.getsize(args.out)
+    # db.save may write a directory layout — size the whole tree (the
+    # first committed 256M run reported 0.00 GB from getsize on the dir)
+    if os.path.isdir(args.out):
+        ckpt_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(args.out)
+            for f in fs
+        )
+    else:
+        ckpt_bytes = os.path.getsize(args.out)
     log(f"checkpoint {ckpt_bytes / 2**30:.2f} GB in {ckpt_s:.1f}s -> {args.out}")
 
     print(json.dumps({
