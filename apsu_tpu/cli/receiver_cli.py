@@ -125,7 +125,14 @@ def main(argv=None):
     write_union_csv(args.out, union)
     log.info("union: %d items -> %s (%d queries, received %d new)", len(union),
              args.out, len(per_query), len(new_payloads))
-    log.info("timings: %s", {k: round(v, 3) for k, v in timings.items()})
+    log.info(
+        "timings: %s",
+        {
+            # values are floats except worker_build_s (a per-worker list)
+            k: round(v, 3) if isinstance(v, (int, float)) else v
+            for k, v in timings.items()
+        },
+    )
     if ch is not None:
         log.info("bytes sent=%d received=%d", ch.bytes_sent, ch.bytes_received)
     print(GLOBAL.report(), file=sys.stderr)
