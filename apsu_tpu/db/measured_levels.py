@@ -102,6 +102,8 @@ MEASURED: Dict[str, Dict[str, int]] = {
     # multi-hour run; deeper steps not yet measured, so this entry is
     # conservative-but-measured, not the floor)
     "b9e817289e5e4031": {"ps": 6, "result": 4},
+    # 256M-2048: same first descent step, 18.9 bits (same caveat)
+    "8f0a6dae264347d1": {"ps": 6, "result": 4},
 }
 
 
