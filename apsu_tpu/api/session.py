@@ -254,10 +254,15 @@ def serve_db_party(
     oprf_kind = hello.get("oprf", "kkrt")
     t.send_op(OP_PARAMS, params.to_json().encode())
 
+    rebind_src = None
     if db is not None and oprf_kind == "kkrt":
         # a slot-bound KKRT correlation binds exactly one query session
         # (mpc/oprf.py) — the resident (ECDH-built) cache cannot answer it;
-        # rebuild for this client, interactively bound to its correlation
+        # rebuild for this client, interactively bound to its correlation.
+        # If the resident DB retains its placement, only the OPRF-dependent
+        # tensors are re-derived (ReceiverDB.rebind — VERDICT r3 #9)
+        if db.can_rebind:
+            rebind_src = db
         db = None
 
     t0 = time.perf_counter()
@@ -276,6 +281,8 @@ def serve_db_party(
                 params, workers, items, oprf=oprf, rng=rng,
                 cache_parts=cache_parts,
             )
+        elif rebind_src is not None:
+            db = rebind_src.rebind(oprf)
         else:
             db = ReceiverDB(params, oprf)
             db.set_data(items)

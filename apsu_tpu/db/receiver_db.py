@@ -138,6 +138,11 @@ class ReceiverDB:
         self._roots: Optional[np.ndarray] = None    # [B, C, K, N] uint32
         self._counts: Optional[np.ndarray] = None   # [B, C, N] int32
         self._eval_level_arg: Optional[int] = None
+        # OPRF-independent placement retained by the unlabeled build so a
+        # new OPRF correlation can rebind without redoing locations/dedup/
+        # ranks (VERDICT r3 #9 resident-KKRT economics); dropped by strip()
+        # and invalidated by incremental mutation
+        self._placement: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     def set_data(
@@ -343,12 +348,23 @@ class ReceiverDB:
             cache_base = c0r
 
         # slot-bound OPRF + felts on the kept slice only
-        prf = self.oprf.eval(items[item_idx], slots)
+        items_kept = items[item_idx]
+        prf = self.oprf.eval(items_kept, slots)
         felts = felts_from_items(prf, fpi, p.item_bit_count_per_felt)
-        return self._finish_build(
+        stats = self._finish_build(
             n, slots, felts, None, cache_idx, depth, C, cache_base,
             slot_counts_full, eval_level,
         )
+        # retain the OPRF-independent placement for rebind(): the cuckoo
+        # locations, dedup and per-slot ranks depend only on the item
+        # hashes (reference: locations precede the PRF encoding,
+        # receiver_db.cpp:70-79 vs :157-240), so a fresh KKRT session only
+        # needs PRF + felts + scatter + device cache from here
+        self._placement = (
+            items_kept, slots, cache_idx, depth, n, C, cache_base,
+            slot_counts_full,
+        )
+        return stats
 
     def _finish_build(
         self, n, slots, felts, label_felts, cache_idx, depth, C, cache_base,
@@ -770,6 +786,53 @@ class ReceiverDB:
         can no longer insert_or_assign/remove (reference parity)."""
         self._roots = None
         self._counts = None
+        self._placement = None
+
+    # ------------------------------------------------------------------
+    @property
+    def can_rebind(self) -> bool:
+        """True iff this DB retains the OPRF-independent placement (built
+        unlabeled via set_data, not stripped, not mutated since)."""
+        return self._placement is not None
+
+    def rebind(
+        self, oprf: OprfBackend, eval_level: Optional[int] = None
+    ) -> "ReceiverDB":
+        """New ReceiverDB over the SAME item set under a fresh OPRF
+        correlation, reusing the retained placement.
+
+        The cuckoo locations, duplicate filtering and per-slot ranks
+        depend only on the 128-bit item hashes — the slot-bound PRF
+        replaces item VALUES after the placement is fixed (reference:
+        all_locations at receiver_db.cpp:70-79 precedes the oprf_sender
+        encoding at :157-240).  A resident server answering a new KKRT
+        session therefore only re-derives the PRF outputs, felts, the
+        roots scatter and the device evaluation cache — skipping the
+        location hashing and the global dedup sort that dominate the host
+        phase of a giant build.  The resident DB is untouched (its ECDH
+        cache keeps serving other clients); drop the returned DB after the
+        session to release its HBM cache."""
+        if self._placement is None:
+            raise ValueError(
+                "no retained placement (labeled build, stripped, or "
+                "mutated since set_data): rebind needs a fresh set_data"
+            )
+        (items_kept, slots, cache_idx, depth, n, C, cache_base,
+         slot_counts_full) = self._placement
+        p = self.params
+        db = ReceiverDB(
+            p, oprf, bfv=self.bfv,
+            bundle_range=self.bundle_range, cache_range=self.cache_range,
+        )
+        prf = oprf.eval(items_kept, slots)
+        felts = felts_from_items(prf, p.felts_per_item, p.item_bit_count_per_felt)
+        db._finish_build(
+            n, slots, felts, None, cache_idx, depth, C, cache_base,
+            slot_counts_full,
+            eval_level if eval_level is not None else self._eval_level_arg,
+        )
+        db._placement = self._placement  # shared read-only host state
+        return db
 
     # ------------------------------------------------------------------
     # incremental mutation (reference insert_or_assign into an existing DB,
@@ -892,6 +955,7 @@ class ReceiverDB:
         — the reference's per-bundle insert workers (receiver_db.cpp:
         330-510) collapse into numpy index arithmetic."""
         self._require_mutable()
+        self._placement = None  # stale after mutation; rebind() refuses
         p = self.params
         K = p.table_params.max_items_per_bin
         fpi = p.felts_per_item
@@ -965,6 +1029,7 @@ class ReceiverDB:
         argsort (root order within a bin is immaterial — they are the
         unordered roots of the matching polynomial), and scattered back."""
         self._require_mutable()
+        self._placement = None  # stale after mutation; rebind() refuses
         p = self.params
         K = p.table_params.max_items_per_bin
         fpi = p.felts_per_item

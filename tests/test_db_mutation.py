@@ -95,3 +95,56 @@ def test_stripped_db_refuses_mutation():
     db.strip()
     with pytest.raises(ValueError, match="stripped"):
         db.insert_or_assign(items[:5])
+
+
+def test_rebind_matches_fresh_build():
+    """rebind(oprf) — the resident-KKRT economics path (session.py): a new
+    OPRF correlation over the retained placement must produce the exact
+    cache a fresh set_data would, without redoing locations/dedup/ranks."""
+    rng = np.random.default_rng(34)
+    params = small_params()
+    items = rng.integers(0, 1 << 64, size=(200, 2), dtype=np.uint64)
+
+    resident = ReceiverDB(params, DebugOprf(0xAAA))
+    resident.set_data(items)
+    assert resident.can_rebind
+
+    new_oprf = DebugOprf(0xBBB)
+    fresh = ReceiverDB(params, new_oprf, bfv=resident.bfv)
+    fresh.set_data(items)
+    rebound = resident.rebind(new_oprf)
+
+    assert rebound.stats == fresh.stats
+    np.testing.assert_array_equal(
+        np.asarray(rebound.coeff_cache), np.asarray(fresh.coeff_cache)
+    )
+    # the resident DB is untouched and still rebindable
+    assert resident.can_rebind
+
+    # a query against the rebound DB is exact
+    query = np.concatenate(
+        [
+            rng.integers(0, 1 << 64, size=(24, 2), dtype=np.uint64),
+            items[rng.choice(len(items), size=8, replace=False)],
+        ]
+    )
+    from apsu_tpu.api.parties import Sender
+
+    res = run_psu(
+        params, query, items,
+        sender=Sender(params, new_oprf),
+        receiver=Receiver(params, rebound),
+    )
+    check_oracle(items, query, res)
+
+
+def test_rebind_refuses_after_mutation_or_strip():
+    rng = np.random.default_rng(35)
+    params = small_params()
+    items = rng.integers(0, 1 << 64, size=(120, 2), dtype=np.uint64)
+    db = ReceiverDB(params, DebugOprf())
+    db.set_data(items)
+    db.insert_or_assign(rng.integers(0, 1 << 64, size=(5, 2), dtype=np.uint64))
+    assert not db.can_rebind
+    with pytest.raises(ValueError):
+        db.rebind(DebugOprf(1))
