@@ -209,6 +209,14 @@ class NttContext:
             tw_f, _ = self._pair_tables()
             return ntt_pair(x, tw_f, np.asarray(self.consts.p, np.uint32))
         if self._ntt4p_mode():
+            import os as _os
+
+            if _os.environ.get("APSU_NTT4P_GL") == "1":
+                # grid-over-L kernel (A/B: ~L× smaller Mosaic program —
+                # the r5 sweep found a per-invocation fixed cost)
+                from apsu_tpu.ops.ntt4_pallas import ntt4_pallas_gl
+
+                return ntt4_pallas_gl(x, self._ntt4p_tables())
             from apsu_tpu.ops.ntt4_pallas import ntt4_pallas
 
             return ntt4_pallas(x, self._ntt4p_tables())
@@ -261,6 +269,12 @@ class NttContext:
                 ninv_np=np.stack([self.ninv_pl, self.ninv_sh], axis=1),
             )
         if self._ntt4p_mode():
+            import os as _os
+
+            if _os.environ.get("APSU_NTT4P_GL") == "1":
+                from apsu_tpu.ops.ntt4_pallas import ntt4_pallas_gl
+
+                return ntt4_pallas_gl(x, self._ntt4p_tables(), inverse=True)
             from apsu_tpu.ops.ntt4_pallas import ntt4_pallas
 
             return ntt4_pallas(x, self._ntt4p_tables(), inverse=True)

@@ -96,6 +96,20 @@ class DbStats:
     cache_counts: np.ndarray  # [B] caches actually used per bundle index
     max_bin_load: int
 
+    def __eq__(self, other) -> bool:
+        # dataclass tuple-equality raises on the ndarray field whenever
+        # B > 1 ("truth value of an array is ambiguous") — compare it
+        # with array_equal instead (ADVICE r4)
+        if not isinstance(other, DbStats):
+            return NotImplemented
+        return (
+            self.n_items == other.n_items
+            and self.n_insertions == other.n_insertions
+            and self.n_caches == other.n_caches
+            and self.max_bin_load == other.max_bin_load
+            and np.array_equal(self.cache_counts, other.cache_counts)
+        )
+
 
 class ReceiverDB:
     def __init__(
@@ -129,6 +143,7 @@ class ReceiverDB:
         self.cache_range = (
             tuple(int(x) for x in cache_range) if cache_range is not None else None
         )
+        self._loc_seed = loc_seed  # forwarded by rebind() (ADVICE r4)
         self.locs = LocFuncs(tp.table_size, tp.hash_func_count, loc_seed)
         self.coeff_cache: Optional[jnp.ndarray] = None  # [B, C, planes, L, N] NTT mont
         self.label_cache: Optional[jnp.ndarray] = None  # labeled mode only
@@ -288,11 +303,26 @@ class ReceiverDB:
         on the kept slice instead of all n·h pairs, and no [n·h, 2] item
         repeat is ever materialized (the host phase of the 256M slice
         build dropped ~3x)."""
+        self._placement = self._compute_placement_unlabeled(
+            items, slots, row_keep, assume_unique
+        )
+        return self._materialize_placement(self, self.cache_range, eval_level)
+
+    def _compute_placement_unlabeled(
+        self, items, slots, row_keep, assume_unique
+    ) -> tuple:
+        """OPRF-independent placement over the FULL cache axis: cuckoo
+        dedup + bundle-range filter + per-slot ranks.  Depends only on the
+        item hashes (reference: locations precede the PRF encoding,
+        receiver_db.cpp:70-79 vs :157-240).  Returned (and retained as
+        ``_placement``) in narrowed dtypes with an items REFERENCE instead
+        of a materialized items_kept (ADVICE r4: the wide retention held
+        ~40 B per kept pair — ~2 GB at 16M·h=3; this holds ~14 B/pair +
+        the caller's input array)."""
         p = self.params
         tp = p.table_params
         n = items.shape[0]
         h = tp.hash_func_count
-        fpi = p.felts_per_item
         K = tp.max_items_per_bin
         b0, b1 = self.bundle_range
         ipb = p.items_per_bundle
@@ -333,14 +363,36 @@ class ReceiverDB:
         depth = ranks % K
         C = int(cache_idx.max()) + 1 if len(cache_idx) else 1
 
-        # cache-axis partition (ranks are computed over the FULL insertion
-        # set first, so every worker derives identical assignments)
+        # per-slot load counts (full cache axis; identical on every worker)
         slot_counts_full = np.bincount(slots, minlength=tp.table_size)[
             lo_slot:hi_slot
         ]
+        return (
+            items, item_idx.astype(np.int32), slots.astype(np.int32),
+            cache_idx.astype(np.int32), depth.astype(np.uint16), n, C,
+            0, slot_counts_full,
+        )
+
+    def _materialize_placement(
+        self, into: "ReceiverDB", cache_range, eval_level
+    ) -> DbStats:
+        """PRF + felts + device build of ``into`` from this DB's retained
+        full-cache-axis placement, filtered to ``cache_range``.  Restores
+        the build path's canonical dtypes first (every downstream consumer
+        — OPRF slot binding, scatter indices — must see byte-identical
+        inputs to a direct set_data)."""
+        assert self._placement is not None
+        (items, item_idx_n, slots_n, cache_idx_n, depth_n, n, C_full, _,
+         slot_counts_full) = self._placement
+        p = self.params
+        slots = slots_n.astype(np.int64)
+        item_idx = item_idx_n.astype(np.int64)
+        cache_idx = cache_idx_n.astype(np.int64)
+        depth = depth_n.astype(np.int64)
+        C = C_full
         cache_base = 0
-        if self.cache_range is not None:
-            c0r, c1r = self.cache_range
+        if cache_range is not None:
+            c0r, c1r = (int(x) for x in cache_range)
             in_c = (cache_idx >= c0r) & (cache_idx < c1r)
             slots, item_idx = slots[in_c], item_idx[in_c]
             cache_idx, depth = cache_idx[in_c] - c0r, depth[in_c]
@@ -349,22 +401,54 @@ class ReceiverDB:
 
         # slot-bound OPRF + felts on the kept slice only
         items_kept = items[item_idx]
-        prf = self.oprf.eval(items_kept, slots)
-        felts = felts_from_items(prf, fpi, p.item_bit_count_per_felt)
-        stats = self._finish_build(
+        prf = into.oprf.eval(items_kept, slots)
+        felts = felts_from_items(prf, p.felts_per_item,
+                                 p.item_bit_count_per_felt)
+        return into._finish_build(
             n, slots, felts, None, cache_idx, depth, C, cache_base,
             slot_counts_full, eval_level,
         )
-        # retain the OPRF-independent placement for rebind(): the cuckoo
-        # locations, dedup and per-slot ranks depend only on the item
-        # hashes (reference: locations precede the PRF encoding,
-        # receiver_db.cpp:70-79 vs :157-240), so a fresh KKRT session only
-        # needs PRF + felts + scatter + device cache from here
-        self._placement = (
-            items_kept, slots, cache_idx, depth, n, C, cache_base,
-            slot_counts_full,
+
+    # ------------------------------------------------------------------
+    # placement-only build + cache-range partitions (the 256M grid path:
+    # place 2^28 items ONCE, then materialize each worker's cache-range
+    # partition from the shared placement — reference scaling axis
+    # receiver_osn.cpp:188-205, caches per bundle)
+    # ------------------------------------------------------------------
+    def place_data(self, items: np.ndarray, assume_unique: bool = False) -> int:
+        """Compute and retain the full-cache-axis placement WITHOUT
+        building any device cache.  Returns the total cache count C (the
+        grid's partition denominator).  Follow with ``build_partition``."""
+        tp = self.params.table_params
+        locs = self.locs.locations(items)
+        slots = locs.reshape(-1)
+        keep2d = np.ones(locs.shape, dtype=bool)
+        for j in range(1, tp.hash_func_count):
+            for i in range(j):
+                keep2d[:, j] &= locs[:, j] != locs[:, i]
+        self._placement = self._compute_placement_unlabeled(
+            items, slots, keep2d.reshape(-1), assume_unique
         )
-        return stats
+        return int(self._placement[6])
+
+    def build_partition(
+        self, cache_range, oprf=None, eval_level: Optional[int] = None
+    ) -> "ReceiverDB":
+        """ReceiverDB over caches [c0, c1) materialized from the retained
+        placement (from ``place_data`` or a full ``set_data``).  The
+        partition shares this DB's BfvContext (compiled kernels) and
+        LocFuncs seed; drop it after serving to release its HBM cache."""
+        if self._placement is None:
+            raise ValueError(
+                "no retained placement: call place_data/set_data first"
+            )
+        db = ReceiverDB(
+            self.params, oprf if oprf is not None else self.oprf,
+            bfv=self.bfv, loc_seed=self._loc_seed,
+            bundle_range=self.bundle_range, cache_range=tuple(cache_range),
+        )
+        self._materialize_placement(db, db.cache_range, eval_level)
+        return db
 
     def _finish_build(
         self, n, slots, felts, label_felts, cache_idx, depth, C, cache_base,
@@ -817,18 +901,12 @@ class ReceiverDB:
                 "no retained placement (labeled build, stripped, or "
                 "mutated since set_data): rebind needs a fresh set_data"
             )
-        (items_kept, slots, cache_idx, depth, n, C, cache_base,
-         slot_counts_full) = self._placement
-        p = self.params
         db = ReceiverDB(
-            p, oprf, bfv=self.bfv,
+            self.params, oprf, bfv=self.bfv, loc_seed=self._loc_seed,
             bundle_range=self.bundle_range, cache_range=self.cache_range,
         )
-        prf = oprf.eval(items_kept, slots)
-        felts = felts_from_items(prf, p.felts_per_item, p.item_bit_count_per_felt)
-        db._finish_build(
-            n, slots, felts, None, cache_idx, depth, C, cache_base,
-            slot_counts_full,
+        self._materialize_placement(
+            db, self.cache_range,
             eval_level if eval_level is not None else self._eval_level_arg,
         )
         db._placement = self._placement  # shared read-only host state

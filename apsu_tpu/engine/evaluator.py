@@ -70,6 +70,84 @@ def _schedule_key(schedule: PowerSchedule):
     )
 
 
+def _shard_map():
+    try:  # jax >= 0.4.35 moved shard_map to the top level
+        from jax import shard_map as m
+
+        return m.shard_map if hasattr(m, "shard_map") else m
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as f
+
+        return f
+
+
+def _make_rowmap(axis: str, n_dev: int):
+    """Row-parallelism hook for the fused power program under ``shard_map``:
+    apply ``f`` (batch-agnostic over ONE leading row axis) to tensors whose
+    leading two axes are (group, bundle), sharding the flattened row axis
+    across the mesh and all-gathering the result.  Each row's value is the
+    identical elementwise computation the unsharded path performs, and the
+    tiled all-gather reassembles rows in order — bit-identical by
+    construction (the reference analogue is PowersDag::parallel_apply's
+    work distribution, common/apsu/powers.h:159-278, which likewise
+    repartitions WORK, never values)."""
+
+    def rowmap(f, *xs):
+        G, Bq = xs[0].shape[0], xs[0].shape[1]
+        rows = G * Bq
+        pad = (-rows) % n_dev
+        R = (rows + pad) // n_dev
+        idx = jax.lax.axis_index(axis)
+
+        def prep(x):
+            flat = x.reshape((rows,) + x.shape[2:])
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)]
+                )
+            return jax.lax.dynamic_slice_in_dim(flat, idx * R, R, axis=0)
+
+        ys = f(*[prep(x) for x in xs])
+        tup = isinstance(ys, tuple)
+        outs = []
+        for y in ys if tup else (ys,):
+            full = jax.lax.all_gather(y, axis, axis=0, tiled=True)
+            outs.append(full[:rows].reshape((G, Bq) + y.shape[1:]))
+        return tuple(outs) if tup else outs[0]
+
+    return rowmap
+
+
+def _rowmap_for(shard):
+    """rowmap hook for a (mesh, axis) shard spec, or None (direct path)."""
+    if shard is None:
+        return None
+    mesh, axis = shard
+    return _make_rowmap(axis, int(mesh.devices.size))
+
+
+def _shard_wrap(impl, shard):
+    """Wrap a fused power program in ONE ``shard_map`` over the mesh: all
+    inputs replicated, heavy per-row ops internally distributed by the
+    rowmap hook (created via ``_rowmap_for`` and closed over by ``impl``),
+    output replicated."""
+    if shard is None:
+        return impl
+    mesh, _ = shard
+    from jax.sharding import PartitionSpec as P
+
+    return _shard_map()(
+        impl, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False
+    )
+
+
+def _shard_key(shard):
+    if shard is None:
+        return None
+    mesh, axis = shard
+    return (id(mesh), axis)
+
+
 def compute_power_tensor(
     bfv: BfvContext,
     source_cts: Dict[int, Ciphertext],
@@ -77,8 +155,16 @@ def compute_power_tensor(
     relin_key: Optional[RelinKey],
     eval_level: int,
     at_eval: Optional[bool] = None,
+    shard=None,
 ) -> jnp.ndarray:
     """Run the wavefront schedule, returning NTT powers [D, ..., 2, Le, N].
+
+    ``shard``: optional (mesh, axis) — the WHOLE fused program runs under
+    one ``shard_map`` with every per-row stage (operand transforms, BEHZ
+    products, relinearizations, final switch+NTT) distributed over the
+    mesh's flattened (group × bundle) rows and all-gathered between DAG
+    levels; inputs/outputs replicated.  Bit-identical to the direct path
+    (see _make_rowmap).
 
     source_cts: {power: Ciphertext} fresh query ciphertexts (coeff domain,
     full level), identically batched.  Each schedule level executes as one
@@ -95,6 +181,7 @@ def compute_power_tensor(
 
     if at_eval is None:
         at_eval = _powers_at_eval()
+    rowmap = _rowmap_for(shard)
 
     def impl(*args):
         if need_rk:
@@ -113,14 +200,21 @@ def compute_power_tensor(
             )
             for s, d in zip(srcs, datas)
         }
-        have = _run_schedule(bfv, have, schedule, rk, level=wf_lvl)
+        have = _run_schedule(bfv, have, schedule, rk, level=wf_lvl,
+                             rowmap=rowmap)
         stack = jnp.stack(
             [have[p].data for p in range(1, schedule.max_power + 1)]
         )  # [D, ..., 2, L, N]
-        switched = bfv.mod_switch_to(
-            Ciphertext(stack, is_ntt=False, level=wf_lvl), eval_level
-        )
-        return bfv.to_ntt(switched).data
+
+        def fin(x):
+            switched = bfv.mod_switch_to(
+                Ciphertext(x, is_ntt=False, level=wf_lvl), eval_level
+            )
+            return bfv.to_ntt(switched).data
+
+        return fin(stack) if rowmap is None else rowmap(fin, stack)
+
+    impl.__name__ = "power_tensor"  # named XLA module (profiler)
 
     import os as _os
 
@@ -129,8 +223,9 @@ def compute_power_tensor(
             "power_tensor", _schedule_key(schedule), eval_level, srcs,
             src_lvl, rk_lvl, at_eval,
             int(_os.environ.get("APSU_MUL_CHUNK", 8)),
+            _shard_key(shard),
         ),
-        impl,
+        _shard_wrap(impl, shard),
     )
     datas = [source_cts[s].data for s in srcs]
     if need_rk:
@@ -149,6 +244,7 @@ def _run_schedule(
     level: Optional[int] = None,
     forms: Optional[Dict[int, tuple]] = None,
     defer_terminal: bool = False,
+    rowmap=None,
 ) -> Dict[int, Ciphertext]:
     """Level-synchronous wavefront: each dag level executes as batched
     multiplies + relinearizations over its (target, a, b) products, chunked
@@ -178,6 +274,7 @@ def _run_schedule(
     import os as _os
 
     k = level if level is not None else bfv.q.k
+    rm = rowmap if rowmap is not None else (lambda f, *xs: f(*xs))
     forms = forms if forms is not None else {}
     dedup = _os.environ.get("APSU_DEDUP_FORMS", "1") != "0"
     # APSU_MUL_CHUNK: targets per batched multiply+relin kernel pair.  A
@@ -205,8 +302,9 @@ def _run_schedule(
                 if s not in forms
             )
             if new:
-                fq, fb = bfv.operand_forms(
-                    jnp.stack([have[s].data for s in new]), k
+                fq, fb = rm(
+                    lambda x: bfv.operand_forms(x, k),
+                    jnp.stack([have[s].data for s in new]),
                 )
                 for i, s in enumerate(new):
                     forms[s] = (fq[i], fb[i])
@@ -217,14 +315,22 @@ def _run_schedule(
                 fa_b = jnp.stack([forms[a][1] for (_, a, _) in group])
                 fb_q = jnp.stack([forms[b][0] for (_, _, b) in group])
                 fb_b = jnp.stack([forms[b][1] for (_, _, b) in group])
-                prod3 = bfv.tensor_scaledown_fused(fa_q, fa_b, fb_q, fb_b, k)
+                prod3 = rm(
+                    lambda aq, ab, bq, bb: bfv.tensor_scaledown_fused(
+                        aq, ab, bq, bb, k
+                    ),
+                    fa_q, fa_b, fb_q, fb_b,
+                )
             else:
                 lhs = jnp.stack([have[a].data for (_, a, _) in group])
                 rhs = jnp.stack([have[b].data for (_, _, b) in group])
-                prod3 = bfv.multiply(
-                    Ciphertext(lhs, is_ntt=False, level=k),
-                    Ciphertext(rhs, is_ntt=False, level=k),
-                ).data
+                prod3 = rm(
+                    lambda l, r: bfv.multiply(
+                        Ciphertext(l, is_ntt=False, level=k),
+                        Ciphertext(r, is_ntt=False, level=k),
+                    ).data,
+                    lhs, rhs,
+                )
             defer_idx = [
                 i
                 for i, (t, _, _) in enumerate(group)
@@ -237,12 +343,15 @@ def _run_schedule(
                     if len(now_idx) == len(group)
                     else prod3[np.array(now_idx)]
                 )
-                rel = bfv.relinearize(
-                    Ciphertext(sel, is_ntt=False, level=k), relin_key
+                rel_data = rm(
+                    lambda x: bfv.relinearize(
+                        Ciphertext(x, is_ntt=False, level=k), relin_key
+                    ).data,
+                    sel,
                 )
                 for j, i in enumerate(now_idx):
                     have[group[i][0]] = Ciphertext(
-                        rel.data[j], is_ntt=False, level=k
+                        rel_data[j], is_ntt=False, level=k
                     )
             for i in defer_idx:  # stays 3-component; caller relinearizes
                 have[group[i][0]] = Ciphertext(
@@ -290,6 +399,7 @@ def compute_ps_power_tensors(
     batch_first: bool = False,
     at_eval: Optional[bool] = None,
     defer_relin: Optional[bool] = None,
+    shard=None,
 ):
     """Power tensors for the Paterson–Stockmeyer path (both at FULL level).
 
@@ -325,6 +435,7 @@ def compute_ps_power_tensors(
     # env var forces it for calibration/experiments.
     if defer_relin is None:
         defer_relin = _os.environ.get("APSU_DEFER_RELIN", "0") != "0"
+    rowmap = _rowmap_for(shard)
 
     def impl(*args):
         if need_rk:
@@ -354,7 +465,7 @@ def compute_ps_power_tensors(
             )
             have = _run_schedule(
                 bfv, have, _merge_schedules(plan.low, plan.high), rk,
-                level=wf_lvl, defer_terminal=defer_relin,
+                level=wf_lvl, defer_terminal=defer_relin, rowmap=rowmap,
             )
             low = {p: have[p] for p in range(1, plan.low.max_power + 1)}
             high = {
@@ -366,11 +477,11 @@ def compute_ps_power_tensors(
             high_have = {s: src(d) for s, d in zip(high_srcs, datas[nl:])}
             low = _run_schedule(
                 bfv, low_have, plan.low, rk, level=wf_lvl,
-                defer_terminal=defer_relin,
+                defer_terminal=defer_relin, rowmap=rowmap,
             )
             high = _run_schedule(
                 bfv, high_have, plan.high, rk, level=wf_lvl,
-                defer_terminal=defer_relin,
+                defer_terminal=defer_relin, rowmap=rowmap,
             )
         # assemble: 2-component powers switch straight down; deferred
         # 3-component terminal products switch down THEN relinearize once,
@@ -382,36 +493,40 @@ def compute_ps_power_tensors(
         ]
         i2 = [i for i, c in enumerate(items) if c.size == 2]
         i3 = [i for i, c in enumerate(items) if c.size == 3]
-        sw2 = bfv.mod_switch_to(
-            Ciphertext(
-                jnp.stack([items[i].data for i in i2]),
-                is_ntt=False,
-                level=wf_lvl,
-            ),
-            lvl,
-        ).data
+        rm = rowmap if rowmap is not None else (lambda f, *xs: f(*xs))
+        sw2 = rm(
+            lambda x: bfv.mod_switch_to(
+                Ciphertext(x, is_ntt=False, level=wf_lvl), lvl
+            ).data,
+            jnp.stack([items[i].data for i in i2]),
+        )
         if i3:
-            sw3 = bfv.mod_switch_to(
-                Ciphertext(
-                    jnp.stack([items[i].data for i in i3]),
-                    is_ntt=False,
-                    level=wf_lvl,
-                ),
-                lvl,
+            rel3 = rm(
+                lambda x: bfv.relinearize(
+                    bfv.mod_switch_to(
+                        Ciphertext(x, is_ntt=False, level=wf_lvl), lvl
+                    ),
+                    rk,
+                ).data,
+                jnp.stack([items[i].data for i in i3]),
             )
-            rel3 = bfv.relinearize(sw3, rk)
-            full = jnp.concatenate([sw2, rel3.data])
+            full = jnp.concatenate([sw2, rel3])
         else:
             full = sw2
         full = full[np.argsort(np.array(i2 + i3))]  # back to power order
-        low_ntt = bfv.to_ntt(
-            Ciphertext(full[:nlow], is_ntt=False, level=lvl)
-        ).data
+        low_ntt = rm(
+            lambda x: bfv.to_ntt(
+                Ciphertext(x, is_ntt=False, level=lvl)
+            ).data,
+            full[:nlow],
+        )
         high_coeff = full[nlow:]
         if batch_first:
             low_ntt = jnp.moveaxis(low_ntt, 0, 1)
             high_coeff = jnp.moveaxis(high_coeff, 0, 1)
         return low_ntt, high_coeff
+
+    impl.__name__ = "ps_powers"  # named XLA module (profiler attribution)
 
     fn = bfv._jitted(
         (
@@ -428,8 +543,9 @@ def compute_ps_power_tensors(
             merge_wf,
             defer_relin,
             int(_os.environ.get("APSU_MUL_CHUNK", 8)),
+            _shard_key(shard),
         ),
-        impl,
+        _shard_wrap(impl, shard),
     )
     datas = [
         source_cts[s].data for s in sorted(source_cts) if s <= plan.ps_low_degree
@@ -691,7 +807,24 @@ def eval_matching_polys_ps(
         import os as _os
 
         _inner_kind = _os.environ.get("APSU_PS_INNER", "pallas2")
-        if _inner_kind == "pallas2" and _use_pallas(bfv, lvl):
+        if _inner_kind == "pallas3" and _use_pallas(bfv, lvl):
+            # carry-free 14-bit-split kernel (ops/polyeval.py v3): ~10 VPU
+            # ops/term vs v2's ~18 — bit-identical (same fold points).
+            # Opt-in until the on-chip A/B banks it per the standing rule.
+            from apsu_tpu.ops.polyeval import eval_ps_inner_pallas3
+
+            consts = np.stack(
+                [np.asarray(q.p_d).ravel(), np.asarray(q.pni_d).ravel()]
+            )
+            nseg = cache_r.shape[1] // ph
+            cache5p = cache_r[:, : nseg * ph].reshape(
+                (R, nseg, ph) + cache_r.shape[2:]
+            )
+            acc = eval_ps_inner_pallas3(
+                low_r, cache5p, consts[0], consts[1], 1,
+                interpret=_pallas_interpret(),
+            )[:, : nh + 1]
+        elif _inner_kind == "pallas2" and _use_pallas(bfv, lvl):
             # row-resident segmented kernel (ops/polyeval.py v2): the
             # accumulator + lazy scratch live in VMEM across the whole
             # plane sweep, the cache streams exactly once, each power
@@ -829,13 +962,17 @@ def eval_matching_polys_ps(
                 ksk,
             )
 
+        impl.__name__ = "ps_eval_rows"  # named XLA module (profiler)
         return impl
+
+    import os as _os
 
     out = []
     for r0 in range(0, rows, row_chunk):
         size = min(rows, r0 + row_chunk) - r0
         fn = bfv._jitted(
-            ("ps_rows", size, ps_low_degree, nh, lvl, result_level, rk_lvl),
+            ("ps_rows", size, ps_low_degree, nh, lvl, result_level, rk_lvl,
+             _os.environ.get("APSU_PS_INNER", "pallas2")),
             chunk_impl(size),
         )
         out.append(

@@ -369,6 +369,141 @@ def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
         o_ref[0, :, l] = out.reshape(rb, n2, n1)
 
 
+def _kernel_gl(p_ref, pni_ref, mu_ref, w1_ref, w2_ref, tw_ref, tws_ref,
+               md_ref, mds_ref, ut_ref, uts_ref, x_ref, o_ref, *, n1, n2,
+               inverse, rb):
+    """Grid-over-L variant of ``_kernel``: the limb axis moves from an
+    unrolled Python loop into the SECOND grid dimension, so the Mosaic
+    program is ~L× smaller (one limb's pipeline) and the per-l constants
+    arrive as [1, 1] refs instead of baked immediates.  The per-plane math
+    and op order are identical — outputs bit-identical to ``_kernel``.
+
+    Motivation: the r5 sweep (tools/ntt4p_sweep.py) measured a ~0.85 ms
+    PER-INVOCATION fixed cost on the unrolled kernel, independent of the
+    plane count — consistent with program load/instruction-memory cost
+    scaling with kernel size, not with data."""
+    # [1, 1]-shaped refs broadcast against the [.., n2, n1] tiles (the
+    # trailing-dims rule); scalar extraction would need SMEM routing
+    p = p_ref[...]
+    pni = pni_ref[...]
+    mu = mu_ref[...]
+    xt = x_ref[0, :, 0].reshape(rb * n2, n1)
+
+    def contract_n1(v):
+        vd = _dig7_lanes(v, jnp.int8)
+        grp = jax.lax.dot_general(
+            vd, w1_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=I32,
+        )
+        return _recombine(
+            [grp[:, g * n1 : (g + 1) * n1].astype(U32) for g in range(7)],
+            p, pni, mu,
+        )
+
+    def contract_n2(v):
+        v3 = v.reshape(rb, n2, n1)
+        grps = [
+            jax.lax.dot_general(
+                w2_ref[0], _dig7_sublanes(v3[r], jnp.int8),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=I32,
+            )
+            for r in range(rb)
+        ]
+        g4 = jnp.stack(grps).reshape(rb, 7, n2, n1)
+        return _recombine(
+            [g4[:, g].astype(U32) for g in range(7)], p, pni, mu
+        ).reshape(rb * n2, n1)
+
+    def twmul(v, t_ref, ts_ref):
+        return _shoup_mul(
+            v.reshape(rb, n2, n1), t_ref[0][None], ts_ref[0][None], p
+        ).reshape(rb * n2, n1)
+
+    if not inverse:
+        b = twmul(xt, tw_ref, tws_ref)
+        g = contract_n1(b)
+        h = twmul(g, md_ref, mds_ref)
+        out = contract_n2(h)
+    else:
+        pcol = contract_n2(xt)
+        q = twmul(pcol, md_ref, mds_ref)
+        bb = contract_n1(q)
+        out = twmul(bb, ut_ref, uts_ref)
+    o_ref[0, :, 0] = out.reshape(rb, n2, n1)
+
+
+def ntt4_pallas_gl(x, tb: Ntt4pTables, inverse: bool = False,
+                   interpret: bool = False):
+    """Grid-over-L entry (see _kernel_gl); bit-identical to ntt4_pallas."""
+    import os as _os
+
+    L, N = x.shape[-2], x.shape[-1]
+    assert L == tb.L and N == tb.n
+    n1, n2 = tb.n1, tb.n2
+    lead = x.shape[:-2]
+    B = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(B, L, N)
+    if not inverse:
+        w1_blk, w2_blk = tb.w1_blk, tb.w2_blk
+        md, mds = tb.mid, tb.mid_sh
+    else:
+        w1_blk, w2_blk = tb.w1i_blk, tb.w2i_blk
+        md, mds = tb.mid_i, tb.mid_i_sh
+    xt = xf.reshape(B, L, n1, n2).swapaxes(-2, -1)
+    rb_max = int(_os.environ.get("APSU_NTT4P_RB", "8"))
+    rb = 1
+    for d in range(1, min(B, rb_max) + 1):
+        if B % d == 0:
+            rb = d
+    xt = xt.reshape(B // rb, rb, L, n2, n1)
+    col = lambda a: np.asarray(a, np.uint32).reshape(tb.L, 1)
+    kernel = functools.partial(
+        _kernel_gl, n1=n1, n2=n2, inverse=inverse, rb=rb
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // rb, L),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, l: (l, 0)),
+            pl.BlockSpec((1, 1), lambda b, l: (l, 0)),
+            pl.BlockSpec((1, 1), lambda b, l: (l, 0)),
+            pl.BlockSpec(
+                (1,) + w1_blk.shape[1:], lambda b, l: (l, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1,) + w2_blk.shape[1:], lambda b, l: (l, 0, 0)
+            ),
+            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
+            pl.BlockSpec(
+                (1, rb, 1, n2, n1), lambda b, l: (b, 0, l, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rb, 1, n2, n1), lambda b, l: (b, 0, l, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B // rb, rb, L, n2, n1), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        col(tb.p), col(tb.pni), col(tb.mu),
+        jnp.asarray(w1_blk), jnp.asarray(w2_blk),
+        jnp.asarray(tb.twist), jnp.asarray(tb.twist_sh),
+        jnp.asarray(md), jnp.asarray(mds),
+        jnp.asarray(tb.untwist), jnp.asarray(tb.untwist_sh),
+        xt,
+    )
+    return out.reshape(B, L, n2, n1).swapaxes(-2, -1).reshape(x.shape)
+
+
 def ntt4_pallas(x, tb: Ntt4pTables, inverse: bool = False,
                 interpret: bool = False):
     """x: [..., L, N] uint32 Montgomery canonical; returns the transform,

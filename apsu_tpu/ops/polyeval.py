@@ -350,6 +350,120 @@ def eval_ps_inner_pallas2(
     )(p, pni, low_powers, cache5)
 
 
+def _ps_inner3_kernel(p_ref, pni_ref, pw_ref, pt_ref, out_ref, s00_ref,
+                      s01_ref, s11_ref, *, ph, nseg):
+    """Row-resident PS inner sums, v3: 14-bit operand splits drop the
+    carry tracking entirely.
+
+    Both operands are < 2^28 (eval-level primes), so with a = a1·2^14 + a0
+    the three partial products a0·b0, a0·b1 + a1·b0, a1·b1 are each
+    < 2^29, and DEG_CHUNK = 8 of them sum in plain u32 with NO overflow
+    (8·2·16383² = 4 294 443 008 < 2^32).  Per term that is 2 splits +
+    4 muls + 4 adds ≈ 10 VPU ops against v2's ~18 (16-bit schoolbook with
+    per-term carry chains) — the fold reconstructs the exact 64-bit chunk
+    sum V = s00 + s01·2^14 + s11·2^28 and REDCs it at the SAME plane
+    indices as v1/v2, so outputs stay bit-identical (modular reduction
+    commutes with exact sums).  pw is pre-split once per plane step and
+    reused across all nseg segments."""
+    i = pl.program_id(1)
+    p = p_ref[...]      # [L, 1]
+    pni = pni_ref[...]  # [L, 1]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        s00_ref[...] = jnp.zeros_like(s00_ref)
+        s01_ref[...] = jnp.zeros_like(s01_ref)
+        s11_ref[...] = jnp.zeros_like(s11_ref)
+
+    @pl.when(i > 0)
+    def _():
+        m14 = jnp.uint32(0x3FFF)
+        pw = pw_ref[0, 0]                        # [2, L, N]
+        pw0 = (pw & m14)[None]
+        pw1 = (pw >> 14)[None]
+        pt = pt_ref[0, :, 0][:, None, :, :]      # [nseg, 1, L, N]
+        pt0 = pt & m14
+        pt1 = pt >> 14
+        s00_ref[...] = s00_ref[...] + pw0 * pt0
+        s01_ref[...] = s01_ref[...] + pw0 * pt1 + pw1 * pt0
+        s11_ref[...] = s11_ref[...] + pw1 * pt1
+
+    @pl.when((i % DEG_CHUNK == 0) & (i > 0) | (i == ph - 1))
+    def _():
+        # exact chunk sum V = s00 + s01·2^14 + s11·2^28 as (hi, lo),
+        # then the same REDC as v1/v2
+        s00 = s00_ref[...]
+        s01 = s01_ref[...]
+        s11 = s11_ref[...]
+        lo14 = s01 << 14
+        lo1 = s00 + lo14
+        c1 = (lo1 < lo14).astype(jnp.uint32)
+        lo28 = s11 << 28
+        lo = lo1 + lo28
+        c2 = (lo < lo28).astype(jnp.uint32)
+        hi = (s01 >> 18) + (s11 >> 4) + c1 + c2
+        m = lo * pni[None, None]
+        mhi, _ = _mul_wide_hi_generic(m, p[None, None])
+        t = hi + mhi + (lo != 0).astype(jnp.uint32)
+        t = _sub_if_ge(t, p)
+        t = _sub_if_ge(t, p)
+        out_ref[0] = add_mod(out_ref[0], t, p)
+        s00_ref[...] = jnp.zeros_like(s00_ref)
+        s01_ref[...] = jnp.zeros_like(s01_ref)
+        s11_ref[...] = jnp.zeros_like(s11_ref)
+
+
+def eval_ps_inner_pallas3(
+    low_powers, cache5, p_np: np.ndarray, pni_np: np.ndarray,
+    caches_per_bundle: int, interpret: bool = False,
+):
+    """PS inner sums, v3 carry-free kernel (see _ps_inner3_kernel):
+    out[r, k] = Σ_{i=1..ph-1} low_powers[r//C, i-1] ⊙ cache5[r, k, i].
+
+    low_powers [B, ph-1, 2, L, N]; cache5 [R, nseg, ph, L, N] with
+    R = B·caches_per_bundle; returns [R, nseg, 2, L, N].  Bit-identical
+    to v1/v2/the XLA fori_loop."""
+    B, ell, _, L, N = low_powers.shape
+    R, nseg, ph = cache5.shape[:3]
+    assert ell == ph - 1 and R == B * caches_per_bundle
+    C = caches_per_bundle
+    p = jnp.asarray(p_np.reshape(L, 1))
+    pni = jnp.asarray(pni_np.reshape(L, 1))
+
+    kernel = functools.partial(_ps_inner3_kernel, ph=ph, nseg=nseg)
+    return pl.pallas_call(
+        kernel,
+        grid=(R, ph),
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda r, i: (0, 0)),
+            pl.BlockSpec((L, 1), lambda r, i: (0, 0)),
+            pl.BlockSpec(
+                (1, 1, 2, L, N),
+                lambda r, i: (r // C, jnp.maximum(i - 1, 0), 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, nseg, 1, L, N),
+                lambda r, i: (r, 0, i, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nseg, 2, L, N), lambda r, i: (r, 0, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, nseg, 2, L, N), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((nseg, 2, L, N), jnp.uint32),
+            pltpu.VMEM((nseg, 2, L, N), jnp.uint32),
+            pltpu.VMEM((nseg, 2, L, N), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(p, pni, low_powers, cache5)
+
+
 def eval_dot_pallas(
     powers, cache, p_np: np.ndarray, pni_np: np.ndarray, interpret: bool = False
 ):

@@ -113,65 +113,17 @@ class ShardedEvaluator:
     # ------------------------------------------------------------------
     # power wavefront (reference ComputePowers / PowersDag parallel_apply)
     # ------------------------------------------------------------------
-    def _run_schedule(
-        self,
-        have: Dict[int, Ciphertext],
-        schedule: PowerSchedule,
-        relin_key: Optional[RelinKey],
-    ) -> Dict[int, Ciphertext]:
-        """Level-synchronous wavefront with each level's (target × bundle)
-        products flattened and sharded across the mesh.  Element-for-element
-        the single-device _run_schedule (engine/evaluator.py)."""
-        bfv = self.bfv
-        # the wavefront runs at the SOURCE ciphertexts' level (the fresh
-        # query level — the full chain unless a measured "query" override
-        # sheds limbs)
-        k = next(iter(have.values())).level
-        shard = NamedSharding(self.mesh, P(self.axis))
-        for level in schedule.levels:
-            if relin_key is None:
-                raise ValueError("power schedule requires relinearization keys")
-            G = len(level)
-            lhs = jnp.stack([have[a].data for (_, a, _) in level])  # [G, B, 2, L, N]
-            rhs = jnp.stack([have[b].data for (_, _, b) in level])
-            Bq = lhs.shape[1]
-            flat_l = lhs.reshape((G * Bq,) + lhs.shape[2:])
-            flat_r = rhs.reshape((G * Bq,) + rhs.shape[2:])
-            rpad = (-(G * Bq)) % self.n_dev
-            if rpad:
-                z = jnp.zeros((rpad,) + flat_l.shape[1:], flat_l.dtype)
-                flat_l = jnp.concatenate([flat_l, z])
-                flat_r = jnp.concatenate([flat_r, z])
-            flat_l = jax.device_put(flat_l, shard)
-            flat_r = jax.device_put(flat_r, shard)
-            prod = bfv.multiply(
-                Ciphertext(flat_l, is_ntt=False, level=k),
-                Ciphertext(flat_r, is_ntt=False, level=k),
-            )
-            rel = bfv.relinearize(prod, relin_key)
-            data = rel.data[: G * Bq].reshape((G, Bq) + rel.data.shape[1:])
-            for i, (tgt, _, _) in enumerate(level):
-                have[tgt] = Ciphertext(data[i], is_ntt=False, level=k)
-        return have
-
-    def _maybe_switch_sources(
-        self, source_cts: Dict[int, Ciphertext], eval_level: int, at_eval: bool
-    ) -> Dict[int, Ciphertext]:
-        """With ``at_eval`` (measured per-config knob — see
-        db/measured_levels.powers_at_eval) the sources mod-switch DOWN to the
-        evaluation level before the wavefront, exactly as the single-device
-        compute_*_power_tensors do, keeping the sharded path bit-identical."""
-        if not at_eval:
-            return dict(source_cts)
-        bfv = self.bfv
-        return {
-            s: Ciphertext(
-                bfv.mod_switch_to(ct, eval_level).data,
-                is_ntt=False,
-                level=eval_level,
-            )
-            for s, ct in source_cts.items()
-        }
+    # Both power paths DELEGATE to the fused single-device programs
+    # (engine/evaluator.compute_power_tensor / compute_ps_power_tensors)
+    # with ``shard=(mesh, axis)``: the WHOLE wavefront — operand-form
+    # dedup, merged low+high schedule, chunked BEHZ products,
+    # relinearizations, deferred-terminal assembly, final mod-switch+NTT —
+    # compiles to ONE shard_map program whose per-row stages distribute
+    # over the mesh and all-gather between DAG levels.  The former
+    # per-level eager dispatch loop (jit call + device_put resharding per
+    # level) cost +112% at 1 device (SHARDED_OVERHEAD.json, r4); one fused
+    # program pays one dispatch, like the direct path.  Bit-identical
+    # (engine/evaluator._make_rowmap).
 
     def compute_power_tensor(
         self,
@@ -182,34 +134,25 @@ class ShardedEvaluator:
         at_eval: bool = False,
     ) -> jnp.ndarray:
         """Sharded analogue of engine.evaluator.compute_power_tensor."""
-        bfv = self.bfv
-        srcs = self._maybe_switch_sources(source_cts, eval_level, at_eval)
-        wf_lvl = next(iter(srcs.values())).level
-        have = self._run_schedule(srcs, schedule, relin_key)
-        stack = jnp.stack([have[p].data for p in range(1, schedule.max_power + 1)])
-        switched = bfv.mod_switch_to(
-            Ciphertext(stack, is_ntt=False, level=wf_lvl), eval_level
+        from apsu_tpu.engine.evaluator import compute_power_tensor
+
+        return compute_power_tensor(
+            self.bfv, source_cts, schedule, relin_key, eval_level,
+            at_eval=at_eval, shard=(self.mesh, self.axis),
         )
-        return bfv.to_ntt(switched).data
 
     def compute_ps_power_tensors(
-        self, source_cts, plan, relin_key, eval_level, at_eval: bool = False
+        self, source_cts, plan, relin_key, eval_level, at_eval: bool = False,
+        defer_relin: bool = False, batch_first: bool = False,
     ):
         """Sharded analogue of engine.evaluator.compute_ps_power_tensors."""
-        bfv = self.bfv
-        ph = plan.ps_low_degree + 1
-        srcs = self._maybe_switch_sources(source_cts, eval_level, at_eval)
-        low_src = {s: ct for s, ct in srcs.items() if s <= plan.ps_low_degree}
-        high_src = {s // ph: ct for s, ct in srcs.items() if s > plan.ps_low_degree}
-        wf_lvl = next(iter(srcs.values())).level
-        low = self._run_schedule(low_src, plan.low, relin_key)
-        high = self._run_schedule(high_src, plan.high, relin_key)
-        lvl = eval_level or bfv.q.k
-        low_stack = jnp.stack([low[p].data for p in range(1, plan.low.max_power + 1)])
-        high_stack = jnp.stack([high[p].data for p in range(1, plan.high.max_power + 1)])
-        low_sw = bfv.mod_switch_to(Ciphertext(low_stack, is_ntt=False, level=wf_lvl), lvl)
-        high_sw = bfv.mod_switch_to(Ciphertext(high_stack, is_ntt=False, level=wf_lvl), lvl)
-        return bfv.to_ntt(low_sw).data, high_sw.data
+        from apsu_tpu.engine.evaluator import compute_ps_power_tensors
+
+        return compute_ps_power_tensors(
+            self.bfv, source_cts, plan, relin_key, eval_level=eval_level,
+            at_eval=at_eval, defer_relin=defer_relin,
+            batch_first=batch_first, shard=(self.mesh, self.axis),
+        )
 
     # ------------------------------------------------------------------
     # eval stage, non-PS
@@ -330,11 +273,12 @@ class ShardedEvaluator:
 
         import os
 
-        # PS inner kernel choice mirrors the single-chip evaluator: the
-        # segmented Pallas kernel is OPT-IN (measured slower than the XLA
-        # loop at the 16M shape — see eval_matching_polys_ps)
+        # PS inner kernel choice mirrors the single-chip evaluator
+        # (eval_matching_polys_ps): row-resident pallas2 is the measured
+        # default on TPU, pallas3/pallas opt-in, XLA fori elsewhere
+        inner_kind = os.environ.get("APSU_PS_INNER", "pallas2")
         use_pallas = (
-            os.environ.get("APSU_PS_INNER") == "pallas"
+            inner_kind in ("pallas", "pallas2", "pallas3")
             and _use_pallas_shard(bfv, lvl)
         )
         consts = np.stack([np.asarray(q.p_d).ravel(), np.asarray(q.pni_d).ravel()])
@@ -365,16 +309,26 @@ class ShardedEvaluator:
             )
 
             if use_pallas:
-                # segmented Pallas inner kernel (ops/polyeval.py) — bit-
-                # identical to the fori_loop (same multiply-add order);
-                # build-aligned segments keep the kernel pad a no-op
-                from apsu_tpu.ops.polyeval import eval_ps_inner_pallas
+                # same segmented Pallas kernels as the single-chip
+                # evaluator — bit-identical to the fori_loop (same
+                # multiply-add order / fold points); build-aligned
+                # segments keep the kernel pad a no-op
+                from apsu_tpu.ops.polyeval import (
+                    eval_ps_inner_pallas,
+                    eval_ps_inner_pallas2,
+                    eval_ps_inner_pallas3,
+                )
 
+                inner_fn = {
+                    "pallas": eval_ps_inner_pallas,
+                    "pallas2": eval_ps_inner_pallas2,
+                    "pallas3": eval_ps_inner_pallas3,
+                }[inner_kind]
                 nseg = cache_rows.shape[1] // ph
                 cache5p = cache_rows[:, : nseg * ph].reshape(
                     (cache_rows.shape[0], nseg, ph) + cache_rows.shape[2:]
                 )
-                acc = eval_ps_inner_pallas(
+                acc = inner_fn(
                     low_rows, cache5p, consts[0], consts[1], 1,
                     interpret=interp,
                 )[:, : nh + 1]
@@ -440,7 +394,7 @@ class ShardedEvaluator:
 
         f = self.bfv._jitted(
             ("sharded_eval_ps", lvl, result_level, rk_lvl, id(self.mesh), nh,
-             ell, use_pallas),
+             ell, use_pallas, inner_kind),
             jax.jit(impl, out_shardings=self.repl),
         )
         with self.mesh:
@@ -485,16 +439,18 @@ class ShardedReceiver(Receiver):
         )
         self.last_mask = mask
         ev = self.evaluator
-        from apsu_tpu.db.measured_levels import powers_at_eval
+        from apsu_tpu.db.measured_levels import defer_relin, powers_at_eval
 
         at_eval = powers_at_eval(p)
+        defer = defer_relin(p)
         if self.plan.uses_ps:
             low_ntt, high_coeff = ev.compute_ps_power_tensors(
-                cts, self.plan, rk, self.db.eval_lvl, at_eval=at_eval
+                cts, self.plan, rk, self.db.eval_lvl, at_eval=at_eval,
+                defer_relin=defer, batch_first=True,
             )
             res = ev.eval_query_ps(
-                jnp.moveaxis(low_ntt, 0, 1),
-                jnp.moveaxis(high_coeff, 0, 1),
+                low_ntt,
+                high_coeff,
                 jnp.asarray(mask),
                 rk,
                 p.query_params.ps_low_degree,

@@ -148,3 +148,65 @@ def test_rebind_refuses_after_mutation_or_strip():
     assert not db.can_rebind
     with pytest.raises(ValueError):
         db.rebind(DebugOprf(1))
+
+    # strip() must also invalidate the retained placement (ADVICE r4)
+    db2 = ReceiverDB(params, DebugOprf(), bfv=db.bfv)
+    db2.set_data(items)
+    assert db2.can_rebind
+    db2.strip()
+    assert not db2.can_rebind
+    with pytest.raises(ValueError):
+        db2.rebind(DebugOprf(2))
+
+
+def test_place_data_build_partition_matches_direct():
+    """The 256M-grid path — place once, materialize each cache-range
+    partition from the shared placement — must produce bit-identical
+    caches to a direct cache-range set_data (reference scaling axis:
+    receiver_osn.cpp:188-205)."""
+    rng = np.random.default_rng(37)
+    params = small_params(table_size=128, hash_func_count=3,
+                          max_items_per_bin=8)
+    items = rng.integers(0, 1 << 64, size=(900, 2), dtype=np.uint64)
+
+    oprf = DebugOprf(0xCC)
+    placer = ReceiverDB(params, oprf)
+    C_total = placer.place_data(items)
+    assert C_total >= 2, "test shape must overflow into multiple caches"
+    assert placer.coeff_cache is None  # placement-only: no device build
+
+    for c0 in range(0, C_total, 2):
+        c1 = min(C_total, c0 + 2)
+        part = placer.build_partition((c0, c1))
+        direct = ReceiverDB(params, oprf, bfv=placer.bfv,
+                            cache_range=(c0, c1))
+        direct.set_data(items)
+        assert part.stats == direct.stats
+        np.testing.assert_array_equal(
+            np.asarray(part.coeff_cache), np.asarray(direct.coeff_cache)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(part.ps_const_polys if part.ps_const_polys is not None
+                       else part.const_slots),
+            np.asarray(direct.ps_const_polys
+                       if direct.ps_const_polys is not None
+                       else direct.const_slots),
+        )
+
+
+def test_rebind_forwards_loc_seed():
+    """A rebound DB keeps the resident's LocFuncs seed: a later mutation
+    on the rebound DB must compute the SAME cuckoo locations (ADVICE r4 —
+    the default-seed regression would corrupt silently)."""
+    rng = np.random.default_rng(36)
+    params = small_params()
+    items = rng.integers(0, 1 << 64, size=(150, 2), dtype=np.uint64)
+    seed = b"custom-loc-seed"
+    db = ReceiverDB(params, DebugOprf(0xAAA), loc_seed=seed)
+    db.set_data(items)
+    rebound = db.rebind(DebugOprf(0xBBB))
+    assert rebound._loc_seed == seed
+    item = items[7:8]
+    np.testing.assert_array_equal(
+        db.locs.locations(item), rebound.locs.locations(item)
+    )

@@ -100,9 +100,24 @@ def _reference_ps_inner(low, cache5, p, pni, C):
     return acc
 
 
+def _ps_inner_kernels():
+    from apsu_tpu.ops.polyeval import (
+        eval_ps_inner_pallas,
+        eval_ps_inner_pallas2,
+        eval_ps_inner_pallas3,
+    )
+
+    return {
+        "v1": eval_ps_inner_pallas,
+        "v2": eval_ps_inner_pallas2,
+        "v3": eval_ps_inner_pallas3,
+    }
+
+
+@pytest.mark.parametrize("kind", ["v1", "v2", "v3"])
 @pytest.mark.parametrize("ph,nh1,C", [(5, 4, 1), (3, 7, 2), (9, 2, 3)])
-def test_ps_inner_kernel_matches_reference(ph, nh1, C):
-    from apsu_tpu.ops.polyeval import eval_ps_inner_pallas
+def test_ps_inner_kernel_matches_reference(ph, nh1, C, kind):
+    eval_ps_inner_pallas = _ps_inner_kernels()[kind]
 
     rng = np.random.default_rng(ph * 100 + nh1)
     primes = gen_ntt_primes([27, 26], 64)
@@ -125,10 +140,11 @@ def test_ps_inner_kernel_matches_reference(ph, nh1, C):
     assert jnp.array_equal(got, want), "segmented PS kernel diverges"
 
 
-def test_ps_inner_kernel_full_range_residues():
+@pytest.mark.parametrize("kind", ["v1", "v2", "v3"])
+def test_ps_inner_kernel_full_range_residues(kind):
     """All residues at p-1 with the max in-suite segment length — the lazy
     64-bit segment sum and the 8p/4p/2p/p REDC ladder must reduce exactly."""
-    from apsu_tpu.ops.polyeval import eval_ps_inner_pallas
+    eval_ps_inner_pallas = _ps_inner_kernels()[kind]
 
     primes = gen_ntt_primes([27], 64)
     L, N, ph = 1, 128, 17

@@ -55,13 +55,16 @@ def main():
 
     # --- direct timing: full set_data vs rebind (same item set) ---------
     # warm-up build first so the device build kernels are compiled for
-    # BOTH timed paths (otherwise set_data eats the jit compile and the
-    # ratio flatters rebind)
+    # BOTH timed paths.  The jit cache is per-BfvContext (bfv.py _jit_cache),
+    # so the timed ReceiverDB must SHARE the warm context — a fresh one
+    # would retrace and the ratio would mostly measure jit compile, not the
+    # placement saving (ADVICE r4, medium)
     warm = ReceiverDB(params, DebugOprf(0x111))
     warm.set_data(db_items)
+    shared_bfv = warm.bfv
     del warm
     t0 = time.perf_counter()
-    db = ReceiverDB(params, DebugOprf(0xAAA))
+    db = ReceiverDB(params, DebugOprf(0xAAA), bfv=shared_bfv)
     db.set_data(db_items)
     full_s = time.perf_counter() - t0
     t0 = time.perf_counter()
