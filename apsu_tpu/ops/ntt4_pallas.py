@@ -369,24 +369,17 @@ def _kernel(w1_ref, w2_ref, tw_ref, tws_ref, md_ref, mds_ref, ut_ref,
         o_ref[0, :, l] = out.reshape(rb, n2, n1)
 
 
-def _kernel_gl(p_ref, pni_ref, mu_ref, w1_ref, w2_ref, tw_ref, tws_ref,
+def _kernel_gl(c_ref, w1_ref, w2_ref, tw_ref, tws_ref,
                md_ref, mds_ref, ut_ref, uts_ref, x_ref, o_ref, *, n1, n2,
                inverse, rb):
-    """Grid-over-L variant of ``_kernel``: the limb axis moves from an
-    unrolled Python loop into the SECOND grid dimension, so the Mosaic
-    program is ~L× smaller (one limb's pipeline) and the per-l constants
-    arrive as [1, 1] refs instead of baked immediates.  The per-plane math
-    and op order are identical — outputs bit-identical to ``_kernel``.
-
-    Motivation: the r5 sweep (tools/ntt4p_sweep.py) measured a ~0.85 ms
-    PER-INVOCATION fixed cost on the unrolled kernel, independent of the
-    plane count — consistent with program load/instruction-memory cost
-    scaling with kernel size, not with data."""
-    # [1, 1]-shaped refs broadcast against the [.., n2, n1] tiles (the
-    # trailing-dims rule); scalar extraction would need SMEM routing
-    p = p_ref[...]
-    pni = pni_ref[...]
-    mu = mu_ref[...]
+    """Grid-over-L kernel body (see ntt4_pallas_gl).  c_ref is the
+    scalar-prefetch constants array [3L] (SMEM): per-l p/pni/mu arrive as
+    TRUE scalars — vector-register "scalars" from VMEM hit Mosaic 3D
+    broadcast-layout limits."""
+    l = pl.program_id(1)
+    p = c_ref[3 * l + 0].astype(jnp.uint32)
+    pni = c_ref[3 * l + 1].astype(jnp.uint32)
+    mu = c_ref[3 * l + 2].astype(jnp.uint32)
     xt = x_ref[0, :, 0].reshape(rb * n2, n1)
 
     def contract_n1(v):
@@ -457,36 +450,40 @@ def ntt4_pallas_gl(x, tb: Ntt4pTables, inverse: bool = False,
         if B % d == 0:
             rb = d
     xt = xt.reshape(B // rb, rb, L, n2, n1)
-    col = lambda a: np.asarray(a, np.uint32).reshape(tb.L, 1)
+    # scalar-prefetch consts [3L] (SMEM): p/pni/mu per limb as true scalars
+    consts = np.stack(
+        [np.asarray(tb.p), np.asarray(tb.pni), np.asarray(tb.mu)], axis=1
+    ).reshape(-1).astype(np.int32)  # i32 bit patterns; kernel casts back
     kernel = functools.partial(
         _kernel_gl, n1=n1, n2=n2, inverse=inverse, rb=rb
     )
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B // rb, L),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, l: (l, 0)),
-            pl.BlockSpec((1, 1), lambda b, l: (l, 0)),
-            pl.BlockSpec((1, 1), lambda b, l: (l, 0)),
             pl.BlockSpec(
-                (1,) + w1_blk.shape[1:], lambda b, l: (l, 0, 0)
+                (1,) + w1_blk.shape[1:], lambda b, l, c: (l, 0, 0)
             ),
             pl.BlockSpec(
-                (1,) + w2_blk.shape[1:], lambda b, l: (l, 0, 0)
+                (1,) + w2_blk.shape[1:], lambda b, l, c: (l, 0, 0)
             ),
-            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
-            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
-            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
-            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
-            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
-            pl.BlockSpec((1, n2, n1), lambda b, l: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l, c: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l, c: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l, c: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l, c: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l, c: (l, 0, 0)),
+            pl.BlockSpec((1, n2, n1), lambda b, l, c: (l, 0, 0)),
             pl.BlockSpec(
-                (1, rb, 1, n2, n1), lambda b, l: (b, 0, l, 0, 0)
+                (1, rb, 1, n2, n1), lambda b, l, c: (b, 0, l, 0, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, rb, 1, n2, n1), lambda b, l: (b, 0, l, 0, 0)
+            (1, rb, 1, n2, n1), lambda b, l, c: (b, 0, l, 0, 0)
         ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B // rb, rb, L, n2, n1), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -494,7 +491,7 @@ def ntt4_pallas_gl(x, tb: Ntt4pTables, inverse: bool = False,
         ),
         interpret=interpret,
     )(
-        col(tb.p), col(tb.pni), col(tb.mu),
+        jnp.asarray(consts),
         jnp.asarray(w1_blk), jnp.asarray(w2_blk),
         jnp.asarray(tb.twist), jnp.asarray(tb.twist_sh),
         jnp.asarray(md), jnp.asarray(mds),

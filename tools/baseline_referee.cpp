@@ -36,6 +36,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cstdlib>
 #include <vector>
 
 using u64 = std::uint64_t;
@@ -264,7 +265,147 @@ static double time_op(F &&f, int iters) {
   return (now_s() - t0) / iters;
 }
 
-int main() {
+// ---- runtime-L generalizations (the 256M-4096 branch; the 16M path above
+// keeps its original compile-time-L code so the banked BASELINE_MEASURED
+// numbers stay byte-reproducible) --------------------------------------
+
+static void multiply_plain_acc_g(Bufs &b, int Ld) {
+  for (int c = 0; c < 2; c++)
+    for (int l = 0; l < Ld; l++) {
+      u64 *ct = &b.ct[((c * Ld + l) % (2 * LBSK)) * N];
+      u64 *pt = &b.pt[(l % LBSK) * N];
+      u64 *tmp = &b.tmp[((c * Ld + l) % (3 * LBSK)) * N];
+      u64 *acc = &b.acc[((c * Ld + l) % (3 * LBSK)) * N];
+      for (int j = 0; j < N; j++)
+        tmp[j] = mul_mod_barrett(ct[j], pt[j], b.mq);
+      for (int j = 0; j < N; j++) {
+        u64 z = acc[j] + tmp[j];
+        acc[j] = z >= b.mq.p ? z - b.mq.p : z;
+      }
+    }
+}
+
+static void behz_multiply_g(Bufs &b, int Ld) {
+  int Lb = Ld + 1;  // SEAL Bsk = data limbs + 1
+  for (int poly = 0; poly < 4; poly++)
+    for (int out = 0; out < Lb + 1; out++) {
+      u64 *dst = &b.wide[(out % 3) * N];
+      for (int j = 0; j < N; j++) {
+        u64 acc = 0;
+        for (int l = 0; l < Ld; l++)
+          acc += mul_mod_barrett(b.ct[(l % (2 * LBSK)) * N + j],
+                                 b.tw[(l * 97 + out) & (N - 1)], b.mb);
+        dst[j] = acc;
+      }
+    }
+  for (int poly = 0; poly < 4; poly++)
+    for (int l = 0; l < Lb; l++)
+      for (int j = 0; j < N; j++)
+        b.wide[(l % 3) * N + j] =
+            mul_mod_barrett(b.wide[(l % 3) * N + j], b.tw[j], b.mb);
+  for (int k = 0; k < 4 * (Ld + Lb); k++)
+    ntt_plane(b.plane.data(), b.tw.data(), b.twq.data(), b.mq.p);
+  for (int l = 0; l < Ld + Lb; l++) {
+    const Modulus &m = l < Ld ? b.mq : b.mb;
+    u64 *a0 = &b.ct[0], *a1 = &b.ct[LBSK * N];
+    u64 *o = &b.acc[(l % 3) * N];
+    for (int j = 0; j < N; j++) {
+      u64 c0 = mul_mod_barrett(a0[j], a0[j], m);
+      u64 x = mul_mod_barrett(a0[j], a1[j], m);
+      u64 y = mul_mod_barrett(a1[j], a0[j], m);
+      u64 c1 = x + y >= m.p ? x + y - m.p : x + y;
+      u64 c2 = mul_mod_barrett(a1[j], a1[j], m);
+      o[j] = c0 ^ c1 ^ c2;
+    }
+  }
+  for (int k = 0; k < 3 * (Ld + Lb); k++)
+    ntt_plane(b.plane.data(), b.tw.data(), b.twq.data(), b.mq.p);
+  for (int k = 0; k < 3 * (Ld + Lb); k++)
+    for (int j = 0; j < N; j++)
+      b.wide[j] = mul_mod_shoup_lazy(b.wide[j], b.tw[j], b.twq[j], b.mq.p);
+  for (int poly = 0; poly < 3; poly++)
+    for (int out = 0; out < Lb + Ld; out++)
+      for (int j = 0; j < N; j++) {
+        u64 acc = 0;
+        for (int l = 0; l < (out < Lb ? Ld : Lb); l++)
+          acc += mul_mod_barrett(b.acc[(l % 3) * N + j],
+                                 b.tw[(l * 31 + out) & (N - 1)], b.mb);
+        b.tmp[(out % 3) * N + j] = acc;
+      }
+  g_sink += b.tmp[0];
+}
+
+static void relinearize_g(Bufs &b, int Ld) {
+  for (int d = 0; d < Ld; d++) {
+    for (int k = 0; k < Ld + 1; k++)
+      ntt_plane(b.plane.data(), b.tw.data(), b.twq.data(), b.mq.p);
+    for (int c = 0; c < 2; c++)
+      for (int l = 0; l < Ld + 1; l++) {
+        u64 *acc = &b.acc[(c * (Ld + 1) + l) % (3 * LBSK) * N];
+        u64 *key = &b.pt[(l % LBSK) * N];
+        for (int j = 0; j < N; j++) {
+          u128 z = (u128)acc[j] * key[j];
+          acc[j] = (u64)z + (u64)(z >> 64);
+        }
+      }
+  }
+  for (int k = 0; k < 2 * (Ld + 1); k++)
+    ntt_plane(b.plane.data(), b.tw.data(), b.twq.data(), b.mq.p);
+  for (int c = 0; c < 2; c++)
+    for (int l = 0; l < Ld; l++)
+      for (int j = 0; j < N; j++)
+        b.acc[(l % (3 * LBSK)) * N + j] =
+            mul_mod_shoup_lazy(b.acc[(l % (3 * LBSK)) * N + j] + b.mq.p -
+                                   b.tmp[j],
+                               b.tw[j], b.twq[j], b.mq.p);
+  g_sink += b.acc[0];
+}
+
+// 256M-4096 op inventory (parameters/256M-4096.json): N=8192,
+// ps_low_degree=310 -> ph=311, K=4000 -> nh=12 high powers, 13 segments;
+// query powers [1,4,10,11,28,33,78,118,143 | 311,1555] = 9 low + 2 high
+// sources -> (310-9) + (12-2) = 311 DAG products per bundle index, B=3.
+// Reference levels (SEAL semantics, receiver_osn.cpp:446-488 +
+// bin_bundle.cpp regen at chain index 2): powers at the FULL data chain
+// (4 of the 5 limbs in [50,50,50,38,30]; the 30-bit limb is the special
+// prime), eval after one mod-switch at 3 limbs.  C (caches per bundle)
+// comes from argv (the grid run's measured value; ~34 = ceil(132507/4000)).
+static int main_256m(int C) {
+  Bufs b = make_bufs();
+  const int LP = 4;  // powers: full data chain
+  const int LE = 3;  // eval: chain index 2
+  double t_mpa = time_op([&] { multiply_plain_acc_g(b, LE); }, 100);
+  double t_mul_p = time_op([&] { behz_multiply_g(b, LP); }, 20);
+  double t_rel_p = time_op([&] { relinearize_g(b, LP); }, 20);
+  double t_mul_e = time_op([&] { behz_multiply_g(b, LE); }, 20);
+  double t_rel_e = time_op([&] { relinearize_g(b, LE); }, 20);
+
+  double powers_s = 3 * 311.0 * (t_mul_p + t_rel_p);
+  double row_s = 310.0 * 13.0 * t_mpa + 12.0 * t_mul_e + t_rel_e;
+  int rows = 3 * C;
+  double query_1t = powers_s + rows * row_s;
+  double query_32t = query_1t / 32.0;
+  printf(
+      "{\"config\": \"256M-4096\", \"caches\": %d, "
+      "\"multiply_plain_acc_us\": %.2f, \"behz_multiply_pow_us\": %.2f, "
+      "\"relinearize_pow_us\": %.2f, \"behz_multiply_eval_us\": %.2f, "
+      "\"relinearize_eval_us\": %.2f, "
+      "\"powers_s_1t\": %.3f, \"eval_row_s_1t\": %.4f, "
+      "\"query_s_1t\": %.3f, \"query_s_32t\": %.4f, "
+      "\"full_query_bundles_per_sec_32t\": %.3f, "
+      "\"assumptions\": \"single-thread measured on this host, scaled by 32 "
+      "threads with perfect scaling; SEAL-semantics op inventory at "
+      "256M-4096 (powers L=4 data limbs, eval L=3 after one switch, "
+      "Bsk=L+1, N=8192); caches from the measured grid placement\"}\n",
+      C, t_mpa * 1e6, t_mul_p * 1e6, t_rel_p * 1e6, t_mul_e * 1e6,
+      t_rel_e * 1e6, powers_s, row_s, query_1t, query_32t,
+      rows / query_32t);
+  return 0;
+}
+
+int main(int argc, char **argv) {
+  if (argc > 1 && std::strcmp(argv[1], "256m") == 0)
+    return main_256m(argc > 2 ? std::atoi(argv[2]) : 34);
   Bufs b = make_bufs();
 
   double t_ntt = time_op([&] { ntt_plane(b.plane.data(), b.tw.data(),

@@ -175,7 +175,11 @@ def main():
     # term held live); keep a bounded chunk for comparison
     timeit("inner8", inner_ch(8), cache_r, low_r)
 
-    from apsu_tpu.ops.polyeval import eval_ps_inner_pallas, eval_ps_inner_pallas2
+    from apsu_tpu.ops.polyeval import (
+        eval_ps_inner_pallas,
+        eval_ps_inner_pallas2,
+        eval_ps_inner_pallas3,
+    )
 
     consts = np.stack([np.asarray(q.p_d).ravel(), np.asarray(q.pni_d).ravel()])
     nseg_b = planes // ph
@@ -192,9 +196,17 @@ def main():
         )
         return eval_ps_inner_pallas(low_b, cache5p, consts[0], consts[1], C)
 
+    def inner_p3(cache_r, low_b):
+        # carry-free 14-bit-split kernel (r5) — bit-identical fold points
+        cache5p = cache_r[:, : nseg_b * ph].reshape(
+            (R, nseg_b, ph) + cache_r.shape[2:]
+        )
+        return eval_ps_inner_pallas3(low_b, cache5p, consts[0], consts[1], C)
+
     low_b = mk(ks[1], (B, ell, 2, L, N), hi)
     timeit("inner_p2", inner_p2, cache_r, low_b)
     timeit("inner_p1", inner_p1, cache_r, low_b)
+    timeit("inner_p3", inner_p3, cache_r, low_b)
 
     # 2. q-side INTT + from_mont
     timeit("intt_q", lambda a: q.from_mont(q.ntt.intt(a)), acc0)

@@ -42,6 +42,17 @@ def main() -> None:
         out = subprocess.run([str(exe)], capture_output=True, check=True)
         runs.append(json.loads(out.stdout))
     best = min(runs, key=lambda r: r["query_s_32t"])
+    # 256M-4096 branch (r5): same referee, the north-star op inventory;
+    # caches=34 from the measured 2^28 placement (run_256m_grid.py)
+    runs256 = []
+    for _ in range(3):
+        out = subprocess.run(
+            [str(exe), "256m", "34"], capture_output=True, check=True
+        )
+        runs256.append(json.loads(out.stdout))
+    best256 = min(runs256, key=lambda r: r["query_s_32t"])
+    best256["date"] = time.strftime("%Y-%m-%d")
+    best["256M-4096"] = best256
     best["provenance"] = {
         "referee": "tools/baseline_referee.cpp (g++ -O3 -march=native)",
         "cpu": cpu_model(),

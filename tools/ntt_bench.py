@@ -71,6 +71,20 @@ def main():
     fpair = chain(lambda v: ntt_pair(v, tw_pair, p_np))
     f4p = chain(lambda v: ntt4_pallas(v, tb4p)) if tb4p is not None else None
 
+    # Chain-overhead floor: on this backend one fori_loop ITERATION costs
+    # ~0.8 ms even for a bare a+1 body (measured r5 — the reason every
+    # r4 per-plane number read 3-5x above the op-count floor).  Measure it
+    # with the same harness and report both raw and overhead-corrected
+    # per-transform times.
+    fid = chain(lambda v: v + jnp.uint32(1))
+    jax.device_get(chk(fid(xj)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.device_get(chk(fid(xj)))
+    chain_oh = (time.perf_counter() - t0) / 3 / R
+    print(f"chain-overhead floor (a+1 body): {chain_oh * 1e3:.3f} ms/iter",
+          flush=True)
+
     def bench(f, name, iters=5):
         t0 = time.perf_counter()
         out = f(xj)
@@ -80,9 +94,12 @@ def main():
         for _ in range(iters):
             jax.device_get(chk(f(xj)))
         dt = (time.perf_counter() - t0) / iters / R
+        corr = max(dt - chain_oh, 0.0)
         gbps = x.nbytes * 2 / dt / 1e9
         print(
             f"{name:8s} [{batch},{L},{n}]: {dt * 1e3:8.3f} ms/transform "
+            f"(corrected {corr * 1e3:8.3f} ms = "
+            f"{corr * 1e6 / (batch * L):6.3f} us/plane) "
             f"({gbps:6.1f} GB/s r+w)  compile {compile_s:.1f}s  (R={R})",
             flush=True,
         )

@@ -29,9 +29,12 @@ import numpy as np  # noqa: E402
 def _parse_xplane(trace_dir):
     """Sum device-plane XLA-module event durations per module name."""
     try:
-        from xprof.protobuf import xplane_pb2
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except ImportError:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
+        try:
+            from xprof.protobuf import xplane_pb2
+        except ImportError:
+            from tensorboard_plugin_profile.protobuf import xplane_pb2
 
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
