@@ -14,12 +14,14 @@ a 32-byte PRG seed); result ciphertexts travel bit-packed at the residue
 entropy floor (net/wire.py pack_residues).
 
 Serve-loop mode (``serve_db_party`` with max_queries != 1): the DB party
-keeps its HBM cache resident and answers successive queries — this requires
-the fixed-key ECDH OPRF backend (``oprf="ecdh"``), because a slot-bound
-KKRT correlation binds exactly one query session (mpc/oprf.py).  The
-reference's dispatcher quits after one query
-(receiver_dispatcher_osn.cpp:116); the resident server is what its
-preprocessing model was for.
+keeps its HBM cache resident and answers successive queries.  Two OPRF
+backends: the fixed-key ECDH backend answers any number of queries from
+one resident cache; the production KKRT backend binds one correlation per
+query, so the client opens a FRESH correlation per extra query
+(OP_REBIND) and the DB party re-derives only the OPRF-dependent tensors
+from its retained placement (ReceiverDB.rebind — r4/r5).  The reference's
+dispatcher quits after one query (receiver_dispatcher_osn.cpp:116); the
+resident server is what its preprocessing model was for.
 
 Payloads: the OT carries each item's 16-byte payload (its original bytes) so
 the DB party reconstructs the union in the clear, like the reference's
@@ -58,6 +60,7 @@ from apsu_tpu.net.wire import (
     OP_PARAMS_REQ,
     OP_QUERY,
     OP_QUERY_DATA,
+    OP_REBIND,
     OP_RESPONSE,
     OP_RESULT,
     WIRE_VERSION,
@@ -73,7 +76,9 @@ class QueryClient:
 
     Handshakes once, then issues one or more queries; each query runs the
     full online phase (cuckoo → OPRF → encrypted powers → decrypt → PEQT →
-    OT).  Multi-query sessions need the ECDH OPRF backend.
+    OT).  Multi-query KKRT sessions open a fresh correlation per query
+    (OP_REBIND → server-side placement-reuse rebuild); ECDH sessions reuse
+    the resident cache directly.
     """
 
     def __init__(
@@ -112,10 +117,13 @@ class QueryClient:
         """One full PSU query.  The DB party ends up with the union."""
         timings = timings if timings is not None else {}
         if self._queries and self.oprf != "ecdh":
-            raise ProtocolError(
-                "KKRT OPRF correlations are single-query; use oprf='ecdh' "
-                "for multi-query sessions"
-            )
+            # a slot-bound KKRT correlation binds exactly one query: open a
+            # FRESH correlation for this one.  The DB party re-derives only
+            # the OPRF-dependent tensors from its retained placement
+            # (ReceiverDB.rebind) — the reference has no analogue (its
+            # dispatcher exits after one query,
+            # receiver_dispatcher_osn.cpp:116)
+            self.t.send_op(OP_REBIND, b"")
         self._queries += 1
         params, t = self.params, self.t
         snd = Sender(
@@ -292,6 +300,7 @@ def serve_db_party(
 
     transferred: List[np.ndarray] = []
     served = 0
+    kkrt_consumed = False  # a served query consumes the KKRT correlation
     while max_queries is None or served < max_queries:
         try:
             op, obj = t.recv_any()
@@ -306,12 +315,39 @@ def serve_db_party(
                 raise ProtocolError("OPRF round on a non-ECDH session")
             t.send_op(OP_OPRF, oprf_obj.serve_round(np.asarray(obj)))
             continue
+        if op == OP_REBIND:
+            # fresh KKRT correlation for the client's next query: run the
+            # interactive setup, then re-derive only the OPRF-dependent
+            # tensors from the retained placement (ReceiverDB.rebind /
+            # DistributedReceiver.rebind) — the multi-query KKRT serve
+            # loop the reference lacks (its dispatcher exits after one
+            # query, receiver_dispatcher_osn.cpp:116)
+            if oprf_kind == "ecdh":
+                t.send_error("OP_REBIND on an ECDH session")
+                raise ProtocolError("OP_REBIND on an ECDH session")
+            t0 = time.perf_counter()
+            oprf_obj = KkrtSender(
+                t.scoped(OP_OPRF), params.table_params.table_size, rng
+            )
+            if dist is not None:
+                dist.rebind(oprf_obj)
+            else:
+                db2 = db.rebind(oprf_obj)
+                db.coeff_cache = None  # release the consumed HBM cache
+                db = db2
+                recv = Receiver(params, db, rng=rng)
+            kkrt_consumed = False
+            timings["rebind"] = time.perf_counter() - t0
+            continue
         if op != OP_QUERY:
             t.send_error(f"unexpected op {op} (wanted OP_QUERY)")
             raise ProtocolError(f"unexpected op {op}")
-        if served and oprf_kind != "ecdh":
-            t.send_error("KKRT sessions serve exactly one query")
-            raise ProtocolError("KKRT sessions serve exactly one query")
+        if served and oprf_kind != "ecdh" and kkrt_consumed:
+            t.send_error(
+                "KKRT correlation already consumed; the client must open "
+                "a fresh one (OP_REBIND) before its next query"
+            )
+            raise ProtocolError("KKRT correlation already consumed")
 
         meta = json.loads(bytes(obj).decode())
         plist = tuple(int(x) for x in meta["power_list"])
@@ -363,6 +399,7 @@ def serve_db_party(
             transferred.append(cardsum_db_side(eg, blocks, rng, peqt=meta["peqt"]))
         timings["endgame"] = time.perf_counter() - t0
         served += 1
+        kkrt_consumed = True
     if dist is not None:
         dist.close()
     return transferred

@@ -784,6 +784,25 @@ def eval_matching_polys_ps(
     )
     budget = max(1 << 30, (10 << 30) - cache_bytes)
     row_chunk = int(max(1, min(rows, budget // max(1, row_bytes))))
+    # BUNDLE-ALIGNED chunks (r5, from the profiler trace): per-row
+    # jnp.take gathers of the per-bundle constants (low powers + the
+    # pre-transformed fb in q ∪ Bsk) materialized GB-scale HBM copies
+    # inside every chunk program (%copy/%slice DMA ~100 ms overlapped in
+    # PROFILE_TRACE_16M.json).  When the chunk covers WHOLE bundles the
+    # constants stay per-bundle and BROADCAST into the kernels instead —
+    # same values, zero copies, bit-identical.  The aligned row budget
+    # drops the gather terms, so chunks also get larger (fewer host
+    # dispatches).
+    row_bytes_aligned = (
+        behz_bytes_per_row
+        + 2 * cache_bytes_per_row
+        + (fb_bytes_per_row + low_bytes_per_row) // max(1, C)
+    )
+    rc_a = int(max(1, min(rows, budget // max(1, row_bytes_aligned))))
+    rc_a -= rc_a % C
+    aligned = rc_a >= C
+    if aligned:
+        row_chunk = rc_a
 
     rbase = bfv.levels[result_level]
 
@@ -794,8 +813,14 @@ def eval_matching_polys_ps(
         Ciphertext(high_powers_coeff, is_ntt=False, level=lvl), nh
     )
 
-    def rows_impl(cache_r, const_r, mask_r, low_r, fbq_r, fbb_r, ksk):
+    def rows_impl(cache_r, const_r, mask_r, low_b, fbq_b, fbb_b, ksk,
+                  cpb=1):
+        # cpb: caches per bundle covered by this chunk.  cpb == 1 means
+        # low_b/fbq_b/fbb_b arrive pre-gathered PER ROW (legacy unaligned
+        # path); cpb == C means they stay PER BUNDLE ([R/cpb, ...]) and
+        # broadcast into the kernels — same values, no gather copies.
         R = cache_r.shape[0]
+        low_r = low_b if cpb == 1 else jnp.repeat(low_b, cpb, axis=0)
         # plane k·ph + i == [k, i] of a [(nh+1), ph] plane view: ph = ℓ+1
         # makes (nh+1)·ph == nh·ph + ℓ + 1 exactly, so the PS gather is a
         # contiguous reshape + one dynamic index (a jnp.take gather here
@@ -806,11 +831,13 @@ def eval_matching_polys_ps(
 
         import os as _os
 
-        _inner_kind = _os.environ.get("APSU_PS_INNER", "pallas2")
+        _inner_kind = _os.environ.get("APSU_PS_INNER", "pallas3")
         if _inner_kind == "pallas3" and _use_pallas(bfv, lvl):
             # carry-free 14-bit-split kernel (ops/polyeval.py v3): ~10 VPU
-            # ops/term vs v2's ~18 — bit-identical (same fold points).
-            # Opt-in until the on-chip A/B banks it per the standing rule.
+            # ops/term vs v2's ~18 — bit-identical (same fold points;
+            # verified on chip at the 16M shape incl. the p-1 edge).
+            # DEFAULT since r5: same-process full-query A/B on chip
+            # 2026-08-20 measured 159.9 ms vs 201.2 ms warm (+25.8%).
             from apsu_tpu.ops.polyeval import eval_ps_inner_pallas3
 
             consts = np.stack(
@@ -821,7 +848,7 @@ def eval_matching_polys_ps(
                 (R, nseg, ph) + cache_r.shape[2:]
             )
             acc = eval_ps_inner_pallas3(
-                low_r, cache5p, consts[0], consts[1], 1,
+                low_b, cache5p, consts[0], consts[1], cpb,
                 interpret=_pallas_interpret(),
             )[:, : nh + 1]
         elif _inner_kind == "pallas2" and _use_pallas(bfv, lvl):
@@ -842,7 +869,7 @@ def eval_matching_polys_ps(
                 (R, nseg, ph) + cache_r.shape[2:]
             )
             acc = eval_ps_inner_pallas2(
-                low_r, cache5p, consts[0], consts[1], 1,
+                low_b, cache5p, consts[0], consts[1], cpb,
                 interpret=_pallas_interpret(),
             )[:, : nh + 1]
         elif _inner_kind == "pallas" and _use_pallas(bfv, lvl):
@@ -864,7 +891,7 @@ def eval_matching_polys_ps(
                 (R, nseg, ph) + cache_r.shape[2:]
             )
             acc = eval_ps_inner_pallas(
-                low_r, cache5p, consts[0], consts[1], 1,
+                low_b, cache5p, consts[0], consts[1], cpb,
                 interpret=_pallas_interpret(),
             )[:, : nh + 1]
         else:
@@ -924,9 +951,19 @@ def eval_matching_polys_ps(
         fa_q = acc[:, 1:].at[:, :, 0].set(
             add_mod(acc[:, 1:, 0], dm_ntt, q.p_d)
         )
-        tot = bfv.multiply_sum_fused(
-            fa_q, inner[:, 1:], fbq_r, fbb_r, lvl, nh
-        )                                           # [R, 3, L, N]
+        if cpb == 1:
+            tot = bfv.multiply_sum_fused(
+                fa_q, inner[:, 1:], fbq_b, fbb_b, lvl, nh
+            )                                       # [R, 3, L, N]
+        else:
+            # per-bundle rhs broadcasts against bundle-blocked lhs rows —
+            # identical products to the gathered path, zero copies
+            nb = R // cpb
+            blk = lambda x: x.reshape((nb, cpb) + x.shape[1:])
+            tot = bfv.multiply_sum_fused(
+                blk(fa_q), blk(inner[:, 1:]), fbq_b[:, None], fbb_b[:, None],
+                lvl, nh,
+            ).reshape((R, 3, q.k, N))
         tot = tot.at[:, :2].set(add_mod(tot[:, :2], inner[:, 0], q.p_d))
         rel = bfv.relinearize(
             Ciphertext(tot, is_ntt=False, level=lvl), RelinKey(ksk, rk_lvl)
@@ -951,6 +988,21 @@ def eval_matching_polys_ps(
             mask_r = jax.lax.dynamic_slice_in_dim(
                 mask_full.reshape(rows, N), r0, size, axis=0
             )
+            if aligned:
+                # whole-bundle chunk: slice the per-bundle constants and
+                # let them broadcast (no per-row gather copies)
+                b0 = r0 // C
+                nb = size // C
+                return rows_impl(
+                    cache_r,
+                    const_r,
+                    mask_r,
+                    jax.lax.dynamic_slice_in_dim(low_full, b0, nb, axis=0),
+                    jax.lax.dynamic_slice_in_dim(fbq_full, b0, nb, axis=0),
+                    jax.lax.dynamic_slice_in_dim(fbb_full, b0, nb, axis=0),
+                    ksk,
+                    cpb=C,
+                )
             bo = (r0 + jnp.arange(size, dtype=jnp.int32)) // C
             return rows_impl(
                 cache_r,
@@ -972,7 +1024,7 @@ def eval_matching_polys_ps(
         size = min(rows, r0 + row_chunk) - r0
         fn = bfv._jitted(
             ("ps_rows", size, ps_low_degree, nh, lvl, result_level, rk_lvl,
-             _os.environ.get("APSU_PS_INNER", "pallas2")),
+             aligned, _os.environ.get("APSU_PS_INNER", "pallas3")),
             chunk_impl(size),
         )
         out.append(

@@ -39,6 +39,11 @@ OP_RESULT = 7     # packed result ciphertexts
 OP_ENDGAME = 8    # PEQT + OT subprotocol messages
 OP_BYE = 9        # client done (serve loop exits)
 OP_ERROR = 10     # remote failure, payload = utf-8 message
+OP_REBIND = 11    # client opens a FRESH KKRT correlation for its next query
+#                   (the DB party rebinds its resident placement —
+#                   ReceiverDB.rebind; beyond the reference, whose
+#                   dispatcher exits after one query,
+#                   receiver_dispatcher_osn.cpp:116)
 
 _OP_NAMES = {
     v: k

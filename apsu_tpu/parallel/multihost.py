@@ -104,6 +104,32 @@ def db_worker(ch: Duplex, params: PSUParams, mesh=None, rng=None) -> None:
         op = bytes(ch.recv()).decode()
         if op == "bye":
             break
+        if op == "rebind":
+            # fresh slot-bound KKRT key material for the next query's
+            # correlation: re-derive ONLY the OPRF-dependent tensors from
+            # the retained placement (ReceiverDB.rebind) — the worker's
+            # cuckoo placement, dedup and ranks are unchanged
+            from apsu_tpu.mpc.kkrt import KkrtSender
+
+            oprf2 = KkrtSender.__new__(KkrtSender)
+            oprf2.q_cols = np.asarray(ch.recv(), dtype=np.uint8)
+            oprf2.s_pack = np.asarray(ch.recv(), dtype=np.uint8)
+            oprf2.n_slots = oprf2.q_cols.shape[0]
+            t_r0 = _time.perf_counter()
+            db2 = db.rebind(oprf2)     # shares the retained placement
+            db.coeff_cache = None      # release the consumed HBM cache
+            db = db2
+            if mesh is not None:
+                from apsu_tpu.parallel.runtime import ShardedReceiver
+
+                recv = ShardedReceiver(params, db, mesh, rng=rng)
+            else:
+                recv = Receiver(params, db, rng=rng)
+            ch.send(
+                np.array([int((_time.perf_counter() - t_r0) * 1e3)],
+                         dtype=np.int64)
+            )
+            continue
         assert op == "query"
         plist = tuple(int(x) for x in ch.recv())
         powers_slice = ch.recv()               # [P, B_w, 2, L, N]
@@ -299,6 +325,25 @@ class DistributedReceiver:
         if timings is not None:
             timings["concat_s"] = _time.perf_counter() - t0
         return out
+
+    def rebind(self, oprf) -> None:
+        """Re-key every worker partition under a FRESH slot-bound KKRT
+        correlation (the multi-query serve loop's per-query rebind): ship
+        the new per-slot key columns; each worker re-derives its
+        OPRF-dependent tensors from its retained placement
+        (ReceiverDB.rebind).  Returns after every worker acks."""
+        from apsu_tpu.mpc.kkrt import KkrtSender
+
+        if not isinstance(oprf, KkrtSender):
+            raise ValueError("rebind expects a fresh KkrtSender")
+        self.oprf = oprf
+        for ch in self.chs:
+            ch.send(b"rebind")
+            ch.send(np.ascontiguousarray(oprf.q_cols))
+            ch.send(np.ascontiguousarray(oprf.s_pack))
+        self.worker_rebind_s = [
+            float(np.asarray(ch.recv())[0]) / 1e3 for ch in self.chs
+        ]
 
     def peqt_matrix(self) -> np.ndarray:
         from apsu_tpu.api.parties import _slots_to_item_blocks

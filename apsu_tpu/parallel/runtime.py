@@ -276,7 +276,7 @@ class ShardedEvaluator:
         # PS inner kernel choice mirrors the single-chip evaluator
         # (eval_matching_polys_ps): row-resident pallas2 is the measured
         # default on TPU, pallas3/pallas opt-in, XLA fori elsewhere
-        inner_kind = os.environ.get("APSU_PS_INNER", "pallas2")
+        inner_kind = os.environ.get("APSU_PS_INNER", "pallas3")
         use_pallas = (
             inner_kind in ("pallas", "pallas2", "pallas3")
             and _use_pallas_shard(bfv, lvl)

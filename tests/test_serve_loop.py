@@ -65,6 +65,63 @@ def test_three_queries_one_server():
 
 
 @pytest.mark.slow
+def test_multi_query_kkrt_session_rebinds():
+    """One KKRT session, three queries: each extra query opens a FRESH
+    slot-bound correlation (OP_REBIND) and the DB party re-derives only
+    the OPRF-dependent tensors from its retained placement
+    (ReceiverDB.rebind) — the multi-query KKRT serve loop the reference
+    lacks (r5).  Every query's transferred set must be the exact
+    difference set."""
+    rng = np.random.default_rng(29)
+    params = small_params()
+    db_items = rng.integers(0, 1 << 64, size=(250, 2), dtype=np.uint64)
+    queries = []
+    for _ in range(3):
+        fresh = rng.integers(0, 1 << 64, size=(20, 2), dtype=np.uint64)
+        common = db_items[rng.choice(250, size=10, replace=False)]
+        queries.append(np.concatenate([fresh, common]))
+
+    ch_q, ch_db = pipe_pair()
+    out = {}
+    errs = []
+    timings = {}
+
+    def server():
+        try:
+            out["per_query"] = serve_db_party(
+                ch_db, params, db_items, CsRng(b"kkrt-multiq-test-db-001"),
+                timings=timings, max_queries=None,
+            )
+        except Exception as e:
+            errs.append(e)
+
+    def client():
+        try:
+            c = QueryClient(ch_q, rng=CsRng(b"kkrt-multiq-test-cli-01"),
+                            params=params, oprf="kkrt")
+            for q in queries:
+                c.query(q)
+            c.close()
+        except Exception as e:
+            errs.append(e)
+
+    ts, tc = threading.Thread(target=server), threading.Thread(target=client)
+    ts.start(); tc.start(); tc.join(); ts.join(30 if errs else None)
+    if errs:
+        raise errs[0]
+
+    per_query = out["per_query"]
+    assert len(per_query) == 3
+    assert "rebind" in timings  # the placement-reuse path actually ran
+    dbs = as_set(db_items)
+    for q, got in zip(queries, per_query):
+        trans = as_set(
+            np.ascontiguousarray(got).view(np.uint64).reshape(-1, 2)
+        )
+        assert trans == as_set(q) - dbs
+
+
+@pytest.mark.slow
 def test_multi_client_dispatch():
     """serve_clients: one resident DB, three successive client CONNECTIONS
     over real sockets — an ECDH client with two queries, a KKRT client
@@ -143,10 +200,17 @@ def test_multi_client_dispatch():
     assert got_sets == want
 
 
-def test_kkrt_session_refuses_second_query():
+def test_kkrt_server_refuses_reused_correlation():
+    """A second OP_QUERY on a consumed KKRT correlation WITHOUT an
+    OP_REBIND must be rejected (a replayed correlation would let the
+    query party evaluate the PRF on fresh inputs it never bound).  The
+    well-behaved client path (QueryClient sends OP_REBIND automatically)
+    is covered by test_multi_query_kkrt_session_rebinds."""
+    import json as _json
+
     import pytest
 
-    from apsu_tpu.net.wire import ProtocolError
+    from apsu_tpu.net.wire import OP_QUERY, ProtocolError, RemoteError
 
     rng = np.random.default_rng(22)
     params = small_params()
@@ -161,6 +225,8 @@ def test_kkrt_session_refuses_second_query():
                 ch_db, params, db_items, CsRng(b"kkrt-refuse-test-db-0001"),
                 max_queries=None,
             )
+        except ProtocolError:
+            pass  # expected: the server aborts the misbehaving session
         except Exception as e:
             errs.append(e)
 
@@ -169,9 +235,15 @@ def test_kkrt_session_refuses_second_query():
     c = QueryClient(ch_q, rng=CsRng(b"kkrt-refuse-test-cli-001"),
                     params=params, oprf="kkrt")
     c.query(q1)
-    with pytest.raises(ProtocolError, match="single-query"):
-        c.query(q1)
-    c.close()
+    # misbehave: replay OP_QUERY directly without opening a fresh
+    # correlation (bypassing QueryClient.query's automatic OP_REBIND)
+    c.t.send_op(
+        OP_QUERY,
+        _json.dumps({"power_list": [1], "peqt": "ddh", "mode": "union",
+                     "has_rk": False}).encode(),
+    )
+    with pytest.raises(RemoteError, match="consumed"):
+        c.t.expect(OP_QUERY)
     t.join()
     if errs:
         raise errs[0]

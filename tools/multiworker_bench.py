@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--mode", choices=["thread", "socket"], default="thread")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--query-size", type=int, default=4096)
+    ap.add_argument("--queries", type=int, default=1,
+                    help=">1 re-queries the same session: the LAST query is "
+                         "the compile-warm distributed number (VERDICT r4 #7)")
     args = ap.parse_args()
 
     import jax
@@ -130,6 +133,7 @@ def main():
             out["transferred"] = serve_db_party(
                 ch_db, params, db_items, CsRng(b"mw-coordinator-key-0001"),
                 workers=wlinks, cache_parts=args.cache_parts, timings=tm,
+                max_queries=args.queries,
             )
             out["srv_timings"] = tm
         except Exception as e:  # noqa: BLE001
@@ -137,22 +141,34 @@ def main():
 
     def client():
         try:
+            from apsu_tpu.api.session import QueryClient
+
             tm: dict = {}
-            run_query_party(
-                ch_q, query, rng=CsRng(b"mw-client-key-seed-0001"),
-                params=params, oprf="kkrt", peqt="osn", timings=tm,
+            cl = QueryClient(
+                ch_q, rng=CsRng(b"mw-client-key-seed-0001"), params=params,
+                oprf="kkrt",
             )
+            qts = []
+            for qi in range(args.queries):
+                t0 = time.perf_counter()
+                cl.query(query, peqt="osn", timings=tm)
+                qts.append(round(time.perf_counter() - t0, 3))
+                log(f"client query {qi}: {qts[-1]:.1f}s")
+            cl.close()
             out["cli_timings"] = tm
+            out["query_wall_s"] = qts
         except Exception as e:  # noqa: BLE001
             errs.append(e)
 
     log(f"starting session: {nw} workers ({args.mode}), KKRT + OSN PEQT")
-    ts = threading.Thread(target=server)
-    tc = threading.Thread(target=client)
+    ts = threading.Thread(target=server, daemon=True)
+    tc = threading.Thread(target=client, daemon=True)
     ts.start()
     tc.start()
     tc.join()
-    ts.join()
+    # a dead client leaves the server blocked mid-protocol: surface the
+    # client's exception instead of deadlocking the join
+    ts.join(timeout=None if not errs else 30)
     for th in threads:
         th.join(timeout=60)
     if errs:
@@ -181,6 +197,10 @@ def main():
             for k, v in out.get("cli_timings", {}).items()
             if isinstance(v, float)
         },
+        "query_wall_s": out.get("query_wall_s", []),
+        "warm_query_s": (
+            out.get("query_wall_s", [None])[-1] if args.queries > 1 else None
+        ),
         "intra_party_bytes_per_link": bytes_per_link,
         "transferred_items": int(
             sum(len(x) for x in out.get("transferred", []))
