@@ -9,9 +9,12 @@ the exact 16M-4096 shape: N=8192, K=1304, ps_low_degree=44, 4 bundle
 indices × 6 caches = 24 bundle evaluations per query (reference hot stack:
 receiver_osn.cpp:140-540 + bin_bundle.cpp:192-360).
 
-The coefficient cache is synthetic random data at the correct shapes/levels
-(the Montgomery datapath is data-independent, so throughput is identical to
-a real cache; building a real 16M cache takes ~days of bench budget).
+The coefficient cache is synthetic random data at the correct shapes/levels.
+MEASURED equivalent to a real cache, not assumed: tools/real_cache_validate.py
+built the real 16.7M DB on chip and timed the warm query against the real
+cache (166.1 ms) and a same-shape synthetic one (173.1 ms) through the SAME
+executables — a 4.2% delta within run variance, with the per-slot match
+oracle exact on the real cache (REAL_CACHE_16M.json, 2026-08-21).
 
 Robustness: the axon remote compiler's latency is erratic (the same kernel
 has compiled in 70 s and in 28 min on this machine), so each phase runs in
