@@ -61,6 +61,10 @@ def main():
     ap.add_argument("--caches-per-part", type=int, default=3)
     ap.add_argument("--parts", default="all",
                     help="'all' or the number of partitions to run")
+    ap.add_argument("--first-cache", type=int, default=0,
+                    help="start the partition sweep at this cache index "
+                         "(supplement a budget-truncated earlier run; the "
+                         "endgame + oracle then cover [first_cache, ...))")
     ap.add_argument("--queries", type=int, default=4096)
     ap.add_argument("--planted", type=int, default=256)
     ap.add_argument("--params", default="parameters/256M-4096.json")
@@ -201,7 +205,9 @@ def main():
     # ground-truth per covered cache: want[s, c_global]
     want_cols = {}
     budget_t0 = time.perf_counter()
-    for pidx in range(min(want_parts, n_parts_total)):
+    first_part = args.first_cache // Cp
+    for pidx in range(first_part,
+                      min(first_part + want_parts, n_parts_total)):
         c0 = pidx * Cp
         c1 = min(C_total, c0 + Cp)
         if pidx and (time.perf_counter() - budget_t0) > args.max_build_seconds:
